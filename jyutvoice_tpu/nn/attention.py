@@ -1,0 +1,259 @@
+"""Attention cores shared by all models.
+
+One masked-SDPA kernel backs three flavors used across the system:
+  * RoPE self-attention (text encoder, reference models/text_encoder.py:175-254)
+  * ESPnet relative-position attention (flow encoder,
+    reference transformer/attention.py:203-334)
+  * plain diffusers-style attention (CFM estimator blocks,
+    reference flow/transformer.py:148-443)
+
+All operate on (B, T, C) with heads split internally; softmax runs in f32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jyutvoice_tpu.nn import core
+
+Array = jax.Array
+
+
+def sdpa(
+    q: Array,
+    k: Array,
+    v: Array,
+    bias: Optional[Array] = None,
+    scale: Optional[float] = None,
+) -> Array:
+    """Scaled dot-product attention.
+
+    q: (B, H, Tq, D), k/v: (B, H, Tk, D), bias: broadcastable to
+    (B, H, Tq, Tk) additive (0 keep / -1e10 drop). Returns (B, H, Tq, D).
+    """
+    d = q.shape[-1]
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=v.dtype
+    )
+    return out
+
+
+def split_heads(x: Array, n_heads: int) -> Array:
+    b, t, c = x.shape
+    return x.reshape(b, t, n_heads, c // n_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: Array) -> Array:
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+# ---------------------------------------------------------------------------
+# Partial RoPE (reference models/text_encoder.py:85-172)
+# ---------------------------------------------------------------------------
+
+
+def rope_cos_sin(t: int, d: int, base: float = 10_000.0, dtype=jnp.float32):
+    """cos/sin tables for partial RoPE of width `d` (must be even).
+
+    Matches the labml-style implementation the reference uses: rotation pairs
+    are (i, i + d/2), theta_i = base^{-2i/d}.
+    """
+    theta = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    idx = jnp.arange(t, dtype=jnp.float32)[:, None] * theta[None, :]  # (T, d/2)
+    idx2 = jnp.concatenate([idx, idx], axis=-1)  # (T, d)
+    return jnp.cos(idx2).astype(dtype), jnp.sin(idx2).astype(dtype)
+
+
+def apply_rope(x: Array, cos: Array, sin: Array, d: int) -> Array:
+    """Rotate the first `d` features of each head. x: (B, H, T, Dh)."""
+    x_rope, x_pass = x[..., :d], x[..., d:]
+    half = d // 2
+    neg_half = jnp.concatenate([-x_rope[..., half:], x_rope[..., :half]], axis=-1)
+    x_rope = x_rope * cos[None, None] + neg_half * sin[None, None]
+    return jnp.concatenate([x_rope, x_pass], axis=-1)
+
+
+def rope_mha_init(key, channels: int, out_channels: int, n_heads: int):
+    """Params for the glow-TTS MultiHeadAttention with partial RoPE.
+
+    q/k/v/o are 1x1 convs in the reference == linears here. q,k,v use
+    xavier_uniform weights (reference models/text_encoder.py:209-214).
+    """
+    ks = jax.random.split(key, 8)
+    d = channels
+    p = {}
+    for i, name in enumerate(("q", "k", "v")):
+        p[name] = {
+            "w": core.xavier_uniform(ks[2 * i], (d, d)),
+            "b": core.uniform_bias_torch(ks[2 * i + 1], (d,), d),
+        }
+    p["o"] = core.linear_init(ks[6], d, out_channels)
+    return p
+
+
+def rope_mha(
+    p,
+    x: Array,
+    attn_bias: Optional[Array],
+    n_heads: int,
+) -> Array:
+    """Self-attention with partial RoPE on q and k.
+
+    Rotary width = head_dim // 2 (reference text_encoder.py:203-204 passes
+    k_channels * 0.5).
+    """
+    b, t, c = x.shape
+    head_dim = c // n_heads
+    d_rope = int(head_dim * 0.5)
+    if d_rope % 2:
+        d_rope -= 1
+    q = core.linear(p["q"], x)
+    k = core.linear(p["k"], x)
+    v = core.linear(p["v"], x)
+    # reference reshapes (B, (H C), T) -> b h t c with einops 'b (h c) t'
+    # on conv outputs; with our (B,T,C) linears that equals standard head split.
+    q, k, v = (split_heads(a, n_heads) for a in (q, k, v))
+    cos, sin = rope_cos_sin(t, d_rope, dtype=jnp.float32)
+    q = apply_rope(q.astype(jnp.float32), cos, sin, d_rope).astype(x.dtype)
+    k = apply_rope(k.astype(jnp.float32), cos, sin, d_rope).astype(x.dtype)
+    # reference scales by 1/sqrt(k_channels) == 1/sqrt(head_dim)
+    out = sdpa(q, k, v, attn_bias, scale=1.0 / math.sqrt(head_dim))
+    # reference merges heads as (b, d, t) view over (h, c) — interleaved the
+    # same way as merge_heads on channels-last.
+    out = merge_heads(out)
+    return core.linear(p["o"], out)
+
+
+# ---------------------------------------------------------------------------
+# ESPnet relative-position attention (flow encoder)
+# ---------------------------------------------------------------------------
+
+
+def espnet_rel_pos_emb(t: int, d_model: int, dtype=jnp.float32) -> Array:
+    """Relative positional encodings for distances T-1 ... -(T-1).
+
+    Returns (2T-1, d_model); row k encodes relative distance (T-1-k)
+    (reference transformer/embedding.py:201-262).
+    """
+    pos = jnp.arange(t, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * -(math.log(10000.0) / d_model)
+    )
+    pe_pos = jnp.zeros((t, d_model))
+    pe_pos = pe_pos.at[:, 0::2].set(jnp.sin(pos * div))
+    pe_pos = pe_pos.at[:, 1::2].set(jnp.cos(pos * div))
+    pe_neg = jnp.zeros((t, d_model))
+    pe_neg = pe_neg.at[:, 0::2].set(jnp.sin(-pos * div))
+    pe_neg = pe_neg.at[:, 1::2].set(jnp.cos(-pos * div))
+    pe = jnp.concatenate([jnp.flip(pe_pos, axis=0), pe_neg[1:]], axis=0)
+    return pe.astype(dtype)
+
+
+def rel_shift_gather(matrix_bd: Array, t_q: int, t_k: int) -> Array:
+    """(B, H, Tq, 2Tq-1) -> (B, H, Tq, Tk) relative-position gather.
+
+    Equivalent to the ESPnet pad-reshape rel_shift trick
+    (reference transformer/attention.py:227-247): out[i, j] = in[i, Tq-1-i+j].
+    """
+    i = jnp.arange(t_q)[:, None]
+    j = jnp.arange(t_k)[None, :]
+    idx = (t_q - 1) - i + j  # (Tq, Tk)
+    # gather along the relative-position axis: out[..., i, j] = in[..., i, idx[i, j]]
+    return jnp.take_along_axis(
+        matrix_bd, jnp.broadcast_to(idx, matrix_bd.shape[:2] + idx.shape), axis=-1
+    )
+
+
+def rel_mha_init(key, n_feat: int, n_heads: int):
+    ks = jax.random.split(key, 6)
+    d_k = n_feat // n_heads
+    return {
+        "q": core.linear_init(ks[0], n_feat, n_feat),
+        "k": core.linear_init(ks[1], n_feat, n_feat),
+        "v": core.linear_init(ks[2], n_feat, n_feat),
+        "o": core.linear_init(ks[3], n_feat, n_feat),
+        "pos": {"w": core.kaiming_uniform_torch(ks[4], (n_feat, n_feat))},
+        "pos_bias_u": core.xavier_uniform(
+            ks[5], (n_heads, d_k), fan_in=n_heads, fan_out=d_k
+        ),
+        "pos_bias_v": core.xavier_uniform(
+            jax.random.fold_in(ks[5], 1), (n_heads, d_k), fan_in=n_heads, fan_out=d_k
+        ),
+    }
+
+
+def rel_mha(
+    p,
+    x: Array,
+    pos_emb: Array,
+    attn_bias: Optional[Array],
+    n_heads: int,
+) -> Array:
+    """Transformer-XL style relative-position self-attention.
+
+    x: (B, T, C); pos_emb: (2T-1, C).
+    Reference: transformer/attention.py:203-334 (RelPositionMultiHeadedAttention).
+    """
+    b, t, c = x.shape
+    d_k = c // n_heads
+    q = split_heads(core.linear(p["q"], x), n_heads)  # (B,H,T,D)
+    k = split_heads(core.linear(p["k"], x), n_heads)
+    v = split_heads(core.linear(p["v"], x), n_heads)
+    pe = core.linear(p["pos"], pos_emb[None])  # (1, 2T-1, C)
+    pm = split_heads(pe, n_heads)  # (1, H, 2T-1, D)
+
+    q_u = q + p["pos_bias_u"][None, :, None, :]
+    q_v = q + p["pos_bias_v"][None, :, None, :]
+    matrix_ac = jnp.einsum(
+        "bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32
+    )
+    matrix_bd = jnp.einsum(
+        "bhqd,bhkd->bhqk", q_v, pm, preferred_element_type=jnp.float32
+    )  # (B, H, T, 2T-1)
+    matrix_bd = rel_shift_gather(matrix_bd, t, t)
+    scores = (matrix_ac + matrix_bd) / math.sqrt(d_k)
+    if attn_bias is not None:
+        scores = scores + attn_bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=v.dtype
+    )
+    return core.linear(p["o"], merge_heads(out))
+
+
+# ---------------------------------------------------------------------------
+# Plain attention (diffusers-style, CFM estimator)
+# ---------------------------------------------------------------------------
+
+
+def plain_mha_init(key, query_dim: int, n_heads: int, head_dim: int):
+    """diffusers Attention: to_q/k/v bias-free, to_out with bias
+    (reference flow/transformer.py:211-219)."""
+    ks = jax.random.split(key, 4)
+    inner = n_heads * head_dim
+    return {
+        "q": {"w": core.kaiming_uniform_torch(ks[0], (query_dim, inner))},
+        "k": {"w": core.kaiming_uniform_torch(ks[1], (query_dim, inner))},
+        "v": {"w": core.kaiming_uniform_torch(ks[2], (query_dim, inner))},
+        "o": core.linear_init(ks[3], inner, query_dim),
+    }
+
+
+def plain_mha(p, x: Array, attn_bias: Optional[Array], n_heads: int) -> Array:
+    q = split_heads(core.linear(p["q"], x), n_heads)
+    k = split_heads(core.linear(p["k"], x), n_heads)
+    v = split_heads(core.linear(p["v"], x), n_heads)
+    out = sdpa(q, k, v, attn_bias)
+    return core.linear(p["o"], merge_heads(out))

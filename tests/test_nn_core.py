@@ -1,0 +1,209 @@
+"""Unit tests for nn.core primitives vs torch reference semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from jyutvoice_tpu.nn import attention, core
+
+
+def t2j(x):
+    return jnp.asarray(x.detach().cpu().numpy())
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_conv1d_matches_torch(rng):
+    b, t, cin, cout, k = 2, 17, 6, 10, 5
+    x = rng.standard_normal((b, t, cin), dtype=np.float32)
+    conv = torch.nn.Conv1d(cin, cout, k, padding=k // 2)
+    with torch.no_grad():
+        ref = conv(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2).numpy()
+    p = {
+        "w": jnp.asarray(conv.weight.detach().numpy().transpose(2, 1, 0)),
+        "b": jnp.asarray(conv.bias.detach().numpy()),
+    }
+    out = core.conv1d(p, jnp.asarray(x), padding="same_torch")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_conv1d_causal_matches_torch(rng):
+    b, t, c, k = 2, 23, 8, 3
+    x = rng.standard_normal((b, t, c), dtype=np.float32)
+    conv = torch.nn.Conv1d(c, c, k, padding=0)
+    xt = torch.nn.functional.pad(torch.from_numpy(x).transpose(1, 2), (k - 1, 0))
+    with torch.no_grad():
+        ref = conv(xt).transpose(1, 2).numpy()
+    p = {
+        "w": jnp.asarray(conv.weight.detach().numpy().transpose(2, 1, 0)),
+        "b": jnp.asarray(conv.bias.detach().numpy()),
+    }
+    out = core.conv1d(p, jnp.asarray(x), padding="causal")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_conv1d_dilated_matches_torch(rng):
+    b, t, c, k, d = 1, 40, 4, 3, 5
+    x = rng.standard_normal((b, t, c), dtype=np.float32)
+    conv = torch.nn.Conv1d(c, c, k, dilation=d, padding=(k * d - d) // 2)
+    with torch.no_grad():
+        ref = conv(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2).numpy()
+    p = {
+        "w": jnp.asarray(conv.weight.detach().numpy().transpose(2, 1, 0)),
+        "b": jnp.asarray(conv.bias.detach().numpy()),
+    }
+    pad = (k * d - d) // 2
+    out = core.conv1d(p, jnp.asarray(x), padding=(pad, pad), dilation=d)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,pad", [(16, 8, 4), (11, 5, 3), (7, 3, 2), (4, 2, 1)])
+def test_conv_transpose1d_matches_torch(rng, k, s, pad):
+    b, t, cin, cout = 2, 13, 6, 4
+    x = rng.standard_normal((b, t, cin), dtype=np.float32)
+    conv = torch.nn.ConvTranspose1d(cin, cout, k, s, padding=pad)
+    with torch.no_grad():
+        ref = conv(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2).numpy()
+    p = {
+        # torch ConvTranspose1d weight (C_in, C_out, K) -> (K, C_in, C_out)
+        "w": jnp.asarray(conv.weight.detach().numpy().transpose(2, 0, 1)),
+        "b": jnp.asarray(conv.bias.detach().numpy()),
+    }
+    out = core.conv_transpose1d(p, jnp.asarray(x), stride=s, padding=pad)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_layer_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 9, 32), dtype=np.float32)
+    ln = torch.nn.LayerNorm(32)
+    with torch.no_grad():
+        ln.weight.copy_(torch.rand(32))
+        ln.bias.copy_(torch.rand(32) - 0.5)
+        ref = ln(torch.from_numpy(x)).numpy()
+    p = {"g": t2j(ln.weight), "b": t2j(ln.bias)}
+    out = core.layer_norm(p, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_group_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 11, 16), dtype=np.float32)
+    gn = torch.nn.GroupNorm(8, 16)
+    with torch.no_grad():
+        gn.weight.copy_(torch.rand(16))
+        gn.bias.copy_(torch.rand(16) - 0.5)
+        ref = gn(torch.from_numpy(x).transpose(1, 2)).transpose(1, 2).numpy()
+    p = {"g": t2j(gn.weight), "b": t2j(gn.bias)}
+    out = core.group_norm(p, jnp.asarray(x), num_groups=8)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_activations_match_torch(rng):
+    x = rng.standard_normal((64,), dtype=np.float32) * 3
+    xt = torch.from_numpy(x)
+    np.testing.assert_allclose(
+        np.asarray(core.mish(jnp.asarray(x))),
+        torch.nn.functional.mish(xt).numpy(),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(core.gelu_torch(jnp.asarray(x))),
+        torch.nn.functional.gelu(xt).numpy(),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(core.silu(jnp.asarray(x))),
+        torch.nn.functional.silu(xt).numpy(),
+        atol=1e-6,
+    )
+    alpha = np.abs(rng.standard_normal(8).astype(np.float32)) + 0.5
+    x2 = rng.standard_normal((2, 5, 8), dtype=np.float32)
+    # reference Snake: x + sin^2(x*alpha)/alpha
+    ref = x2 + (1.0 / (alpha + 1e-9)) * np.sin(x2 * alpha) ** 2
+    np.testing.assert_allclose(
+        np.asarray(core.snake(jnp.asarray(x2), jnp.asarray(alpha))), ref, atol=1e-6
+    )
+
+
+def test_generate_path_matches_torch_semantics():
+    # reference utils/model.py:29-46
+    dur = jnp.asarray([[2.0, 3.0, 1.0], [1.0, 1.0, 0.0]])
+    x_mask = core.sequence_mask(jnp.asarray([3, 2]), 3).astype(jnp.float32)
+    y_mask = core.sequence_mask(jnp.asarray([6, 2]), 7).astype(jnp.float32)
+    attn_mask = x_mask[:, :, None] * y_mask[:, None, :]
+    path = core.generate_path(dur, attn_mask)
+    expect0 = np.array(
+        [
+            [1, 1, 0, 0, 0, 0, 0],
+            [0, 0, 1, 1, 1, 0, 0],
+            [0, 0, 0, 0, 0, 1, 0],
+        ],
+        dtype=np.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(path[0]), expect0)
+    expect1 = np.array(
+        [
+            [1, 0, 0, 0, 0, 0, 0],
+            [0, 1, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 0, 0],
+        ],
+        dtype=np.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(path[1]), expect1)
+
+
+def test_subsequent_chunk_mask_matches_reference():
+    # reference utils/mask.py example: subsequent_chunk_mask(4, 2)
+    m = np.asarray(core.subsequent_chunk_mask(4, 2))
+    expect = np.array(
+        [
+            [1, 1, 0, 0],
+            [1, 1, 0, 0],
+            [1, 1, 1, 1],
+            [1, 1, 1, 1],
+        ],
+        dtype=bool,
+    )
+    np.testing.assert_array_equal(m, expect)
+
+
+def test_rel_shift_gather_matches_espnet():
+    # reference transformer/attention.py:227-247 rel_shift
+    b, h, t = 2, 3, 5
+    x = torch.randn(b, h, t, 2 * t - 1)
+    zero_pad = torch.zeros((b, h, t, 1))
+    x_padded = torch.cat([zero_pad, x], dim=-1)
+    x_padded = x_padded.view(b, h, 2 * t, t)
+    ref = x_padded[:, :, 1:].view(b, h, t, 2 * t - 1)[:, :, :, : t]
+    out = attention.rel_shift_gather(t2j(x), t, t)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-6)
+
+
+def test_espnet_rel_pos_emb_matches_torch():
+    import math as m
+
+    t, d = 7, 16
+    # torch reference re-implementation (transformer/embedding.py:222-253)
+    pe_positive = torch.zeros(t, d)
+    pe_negative = torch.zeros(t, d)
+    position = torch.arange(0, t, dtype=torch.float32).unsqueeze(1)
+    div_term = torch.exp(
+        torch.arange(0, d, 2, dtype=torch.float32) * -(m.log(10000.0) / d)
+    )
+    pe_positive[:, 0::2] = torch.sin(position * div_term)
+    pe_positive[:, 1::2] = torch.cos(position * div_term)
+    pe_negative[:, 0::2] = torch.sin(-1 * position * div_term)
+    pe_negative[:, 1::2] = torch.cos(-1 * position * div_term)
+    pe_positive = torch.flip(pe_positive, [0])
+    ref = torch.cat([pe_positive, pe_negative[1:]], dim=0)
+    out = attention.espnet_rel_pos_emb(t, d)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-6)
+
+
+def test_mesh_available():
+    assert len(jax.devices()) == 8
