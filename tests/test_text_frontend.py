@@ -1,0 +1,210 @@
+"""Text frontend tests: symbol-table parity with the reference data files,
+jyutping/pinyin parsing, g2p feature tuples, number expansion."""
+
+import importlib.util
+import os
+
+import pytest
+
+from jyutvoice_tpu.text import (
+    LANGUAGE_CODES,
+    cleaned_text_to_sequence,
+    intersperse,
+    sequence_to_text,
+    text_to_sequence,
+)
+from jyutvoice_tpu.text import cantonese, english, mandarin, multilingual
+from jyutvoice_tpu.text.jyutping import JyutpingError, parse_jyutping
+from jyutvoice_tpu.text.numbers import normalize_numbers
+from jyutvoice_tpu.text.pinyin import split_pinyin_syllable
+from jyutvoice_tpu.text.symbols import symbol_to_id, symbols
+
+REF = "/root/reference/jyutvoice/text"
+
+
+def _load_module(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_symbol_table_matches_reference_data():
+    """Recompute the union symbol table from the reference's per-language
+    symbol data files and check ids are interchangeable."""
+    yue = _load_module(f"{REF}/cantonese/symbols.py", "ref_yue_sym")
+    en = _load_module(f"{REF}/english/symbols.py", "ref_en_sym")
+    zh = _load_module(f"{REF}/mandarin/symbols.py", "ref_zh_sym")
+    all_sym = sorted(set(list(yue.symbols) + list(en.symbols) + list(zh.symbols)))
+    ref_symbols = ["_", "SP", "UNK", "!", "?", "…", ",", ".", "'", "-"] + all_sym
+    assert symbols == ref_symbols
+    assert len(symbols) == 97  # configs/base.yaml:65 n_vocab
+
+
+@pytest.mark.parametrize(
+    "syl,expect",
+    [
+        ("keoi5", ("k", "eo", "i", "5")),
+        ("bin1", ("b", "i", "n", "1")),
+        ("soeng2", ("s", "oe", "ng", "2")),
+        ("gwong2", ("gw", "o", "ng", "2")),
+        ("ng5", ("", "ng", "", "5")),
+        ("m4", ("", "m", "", "4")),
+        ("aa3", ("", "aa", "", "3")),
+        ("ngo5", ("ng", "o", "", "5")),
+        ("jyut6", ("j", "yu", "t", "6")),
+        ("kwaang1", ("kw", "aa", "ng", "1")),
+    ],
+)
+def test_parse_jyutping(syl, expect):
+    assert parse_jyutping(syl) == expect
+
+
+def test_parse_jyutping_rejects_garbage():
+    for bad in ["xyz1", "keoi", "keoi7", "q3"]:
+        with pytest.raises(JyutpingError):
+            parse_jyutping(bad)
+
+
+def test_cantonese_g2p_with_jyutping():
+    phones, tones, word2ph, word_pos, syllable_pos, lang_ids = cantonese.g2p(
+        "佢 係邊 個", jyutping="keoi5 hai6 bin1 go3"
+    )
+    assert phones == ["_", "k", "eo", "i", "h", "a", "i", "b", "i", "n", "g", "o", "_"]
+    assert tones == [0, 5, 5, 5, 6, 6, 6, 1, 1, 1, 3, 3, 0]
+    assert syllable_pos == [0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 0]
+    # 佢=single word (1), 係邊=two chars (1,3), 個=single (1)
+    assert word_pos == [0, 1, 1, 1, 1, 1, 1, 3, 3, 3, 1, 1, 0]
+    assert lang_ids == [0] * len(phones)
+    assert len(phones) == len(tones) == len(word_pos) == len(syllable_pos)
+
+
+def test_cantonese_g2p_punctuation():
+    phones, tones, word2ph, word_pos, syllable_pos, lang_ids = cantonese.g2p(
+        "好 ,", jyutping="hou2 ,"
+    )
+    assert phones == ["_", "h", "o", "u", ",", "_"]
+    assert tones == [0, 2, 2, 2, 0, 0]
+    assert syllable_pos == [0, 1, 2, 3, 0, 0]
+
+
+@pytest.mark.parametrize(
+    "syl,expect",
+    [
+        ("hao3", ("h", "ao3")),
+        ("ni3", ("n", "i3")),
+        ("zhong1", ("zh", "ong1")),
+        ("jiu4", ("j", "iou4")),
+        ("hui2", ("h", "uei2")),
+        ("lun2", ("l", "uen2")),
+        ("ju2", ("j", "v2")),
+        ("jun1", ("j", "vn1")),
+        ("xue2", ("x", "ve2")),
+        ("quan2", ("q", "van2")),
+        ("yi1", ("", "i1")),
+        ("you3", ("", "iou3")),
+        ("wo3", ("", "uo3")),
+        ("wen4", ("", "uen4")),
+        ("yuan2", ("", "van2")),
+        ("er2", ("", "er2")),
+        ("zhi4", ("zh", "i4")),
+        ("!", ("", "!")),
+    ],
+)
+def test_split_pinyin_syllable(syl, expect):
+    assert split_pinyin_syllable(syl) == expect
+
+
+def test_mandarin_g2p_with_pinyin():
+    phones, tones, word2ph, word_pos, syllable_pos, lang_ids = mandarin.g2p(
+        "你好 世界 !", pinyin="ni3 hao3 shi4 jie4 !"
+    )
+    assert phones == ["_", "n", "i", "h", "ao", "sh", "i", "j", "ie", "!", "_"]
+    assert tones == [0, 3, 3, 3, 3, 4, 4, 4, 4, 0, 0]
+    assert lang_ids == [1] * len(phones)
+    # all phones exist in the symbol table
+    assert all(p in symbol_to_id for p in phones)
+
+
+@pytest.mark.skipif(
+    english.find_cmudict() is None, reason="no cmudict data file available"
+)
+def test_english_g2p_basic():
+    phones, tones, word2ph, word_pos, syllable_pos, lang_ids = english.g2p(
+        "hello world"
+    )
+    assert phones[0] == "_" and phones[-1] == "_"
+    inner = phones[1:-1]
+    # HELLO -> HH AH0 L OW1 ; WORLD -> W ER1 L D
+    assert inner[:4] == ["hh", "ah", "l", "ow"]
+    assert inner[4:] == ["w", "er", "l", "d"]
+    assert tones[1:5] == [1, 1, 1, 2] or tones[1:5] == [3, 1, 3, 2]
+    assert lang_ids == [2] * len(phones)
+    assert all(p in symbol_to_id for p in phones)
+    # stress digit + 1 tones: ow from OW1 -> 2
+    assert tones[4] == 2
+
+
+@pytest.mark.skipif(
+    english.find_cmudict() is None, reason="no cmudict data file available"
+)
+def test_multilingual_g2p():
+    phones, tones, word2ph, word_pos, syllable_pos, lang_ids = multilingual.g2p(
+        "hello", lang="zh"
+    )
+    assert phones[0] == "-" and phones[-1] == "_"
+    assert lang_ids[1] == 2  # inner chunk english
+
+
+def test_text_to_sequence_cantonese():
+    ids, tones, word_pos, syllable_pos, lang_ids = text_to_sequence(
+        "佢", lang="yue", phone="keoi5"
+    )
+    assert ids == [symbol_to_id[s] for s in ["_", "k", "eo", "i", "_"]]
+    assert LANGUAGE_CODES["yue"] == 0
+    assert sequence_to_text(ids) == "_keoi_"
+
+
+def test_intersperse():
+    assert intersperse([1, 2, 3], 0) == [0, 1, 0, 2, 0, 3, 0]
+    assert intersperse([], 0) == [0]
+
+
+@pytest.mark.parametrize(
+    "inp,expect",
+    [
+        # in (1000, 3000) the reference reads numbers year-style (group=2)
+        ("1,234", "twelve thirty four"),
+        ("3,456", "three thousand four hundred fifty six"),
+        ("4,000", "four thousand"),
+        ("3.14", "three point one four"),
+        ("0.5", "zero point five"),
+        ("$5", "five dollars"),
+        ("$1.01", "one dollar one cent"),
+        ("$0.50", "fifty cents"),
+        ("£20", "twenty pounds"),
+        ("1st", "first"),
+        ("3rd", "third"),
+        ("22nd", "twenty second"),
+        ("2000", "two thousand"),
+        ("2003", "two thousand three"),
+        ("1900", "nineteen hundred"),
+        ("1984", "nineteen eighty four"),
+        ("17", "seventeen"),
+    ],
+)
+def test_normalize_numbers(inp, expect):
+    assert normalize_numbers(inp) == expect
+
+
+def test_normalize_numbers_mixed():
+    out = normalize_numbers("I paid $3.50 for 1,000 apples on 1st Jan 2000.")
+    assert "three dollars fifty cents" in out
+    assert "one thousand" in out
+    assert "first" in out
+    assert "two thousand" in out
+
+
+def test_malformed_decimal_passthrough():
+    assert "1.2.3" not in normalize_numbers("$1.2.3")
