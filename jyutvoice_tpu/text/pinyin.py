@@ -62,11 +62,10 @@ def split_pinyin_syllable(syllable: str) -> Tuple[str, str]:
             break
     final = body[len(initial):]
 
-    if initial in _U_TO_V_INITIALS:
+    if initial in _U_TO_V_INITIALS and final.startswith("u"):
         # after j/q/x, written u is phonemically v (ü): u->v, ue->ve,
-        # uan->van, un->vn — and the iu/ui/un abbreviations do not apply
-        if final.startswith("u"):
-            final = "v" + final[1:]
+        # uan->van, un->vn — the un->uen abbreviation does not apply
+        final = "v" + final[1:]
     elif final in _ABBREV_FINALS:
         final = _ABBREV_FINALS[final]
     # ü spelled with u-umlaut
