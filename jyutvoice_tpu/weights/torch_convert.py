@@ -1,0 +1,148 @@
+"""torch state_dict -> jyutvoice_tpu pytree converters.
+
+Input is a flat {name: np.ndarray} dict (load with `load_torch_state_dict`,
+which handles Lightning .ckpt wrappers and bare .pt files, reference formats:
+infer.py:343-351, scripts/download_pretrain_weights.py:168-215).
+
+Layout conventions:
+  torch Conv1d weight (C_out, C_in, K)      -> ours (K, C_in, C_out)
+  torch ConvTranspose1d weight (C_in, C_out, K) -> ours (K, C_in, C_out)
+  torch Linear weight (C_out, C_in)          -> ours (C_in, C_out)
+  1x1 Conv used as a linear                  -> stays a (1, C_in, C_out) conv
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from jyutvoice_tpu.config import (
+    DurationPredictorConfig,
+    EstimatorConfig,
+    FlowEncoderConfig,
+    HiFTConfig,
+    TextEncoderConfig,
+)
+
+SD = Mapping[str, np.ndarray]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into numpy. Requires torch at call time only."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in ckpt.items()}
+
+
+def _conv(sd: SD, name: str) -> dict:
+    p = {"w": jnp.asarray(np.transpose(sd[f"{name}.weight"], (2, 1, 0)))}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _conv_transpose(sd: SD, name: str) -> dict:
+    p = {"w": jnp.asarray(np.transpose(sd[f"{name}.weight"], (2, 0, 1)))}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _linear(sd: SD, name: str) -> dict:
+    p = {"w": jnp.asarray(sd[f"{name}.weight"].T)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _linear_from_conv1x1(sd: SD, name: str) -> dict:
+    """reference 1x1 Conv1d -> our linear params (in, out)."""
+    p = {"w": jnp.asarray(sd[f"{name}.weight"][:, :, 0].T)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _glowtts_norm(sd: SD, name: str) -> dict:
+    return {"g": jnp.asarray(sd[f"{name}.gamma"]), "b": jnp.asarray(sd[f"{name}.beta"])}
+
+
+def _layer_norm(sd: SD, name: str) -> dict:
+    return {
+        "g": jnp.asarray(sd[f"{name}.weight"]),
+        "b": jnp.asarray(sd[f"{name}.bias"]),
+    }
+
+
+def _emb(sd: SD, name: str) -> dict:
+    return {"w": jnp.asarray(sd[f"{name}.weight"])}
+
+
+# ---------------------------------------------------------------------------
+# TextEncoder (reference models/text_encoder.py:340-451)
+# ---------------------------------------------------------------------------
+
+
+def convert_text_encoder(sd: SD, cfg: TextEncoderConfig, prefix: str = "") -> dict:
+    pre = prefix
+    prenet = {
+        "convs": [
+            _conv(sd, f"{pre}prenet.conv_layers.{i}") for i in range(3)
+        ],
+        "norms": [
+            _glowtts_norm(sd, f"{pre}prenet.norm_layers.{i}") for i in range(3)
+        ],
+        "proj": _conv(sd, f"{pre}prenet.proj"),
+    }
+    layers = []
+    for i in range(cfg.n_layers):
+        layers.append(
+            {
+                "attn": {
+                    "q": _linear_from_conv1x1(sd, f"{pre}encoder.attn_layers.{i}.conv_q"),
+                    "k": _linear_from_conv1x1(sd, f"{pre}encoder.attn_layers.{i}.conv_k"),
+                    "v": _linear_from_conv1x1(sd, f"{pre}encoder.attn_layers.{i}.conv_v"),
+                    "o": _linear_from_conv1x1(sd, f"{pre}encoder.attn_layers.{i}.conv_o"),
+                },
+                "norm1": _glowtts_norm(sd, f"{pre}encoder.norm_layers_1.{i}"),
+                "ffn": {
+                    "conv1": _conv(sd, f"{pre}encoder.ffn_layers.{i}.conv_1"),
+                    "conv2": _conv(sd, f"{pre}encoder.ffn_layers.{i}.conv_2"),
+                },
+                "norm2": _glowtts_norm(sd, f"{pre}encoder.norm_layers_2.{i}"),
+            }
+        )
+    return {
+        "emb": _emb(sd, f"{pre}emb"),
+        "lang_emb": _emb(sd, f"{pre}lang_emb"),
+        "tone_emb": _emb(sd, f"{pre}tone_emb"),
+        "word_pos_emb": _emb(sd, f"{pre}word_pos_emb"),
+        "syllable_pos_emb": _emb(sd, f"{pre}syllable_pos"),
+        "prenet": prenet,
+        "layers": layers,
+        "proj": _conv(sd, f"{pre}proj"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# DurationPredictor (reference models/duration_predictor.py:26-60)
+# ---------------------------------------------------------------------------
+
+
+def convert_duration_predictor(
+    sd: SD, cfg: DurationPredictorConfig, prefix: str = ""
+) -> dict:
+    pre = prefix
+    return {
+        "conv1": _conv(sd, f"{pre}conv_1"),
+        "norm1": _glowtts_norm(sd, f"{pre}norm_1"),
+        "conv2": _conv(sd, f"{pre}conv_2"),
+        "norm2": _glowtts_norm(sd, f"{pre}norm_2"),
+        "proj": _conv(sd, f"{pre}proj"),
+        "cond": _conv(sd, f"{pre}cond"),
+    }
