@@ -1,0 +1,208 @@
+"""Causal CFM estimator U-Net (frozen CosyVoice2 decoder).
+
+TPU-native re-design of the reference CausalConditionalDecoder
+(jyutvoice/flow/decoder.py:798-1018). With the live config
+(channels=[256], configs/base.yaml:88-99) the network never changes temporal
+resolution — "down/up-sample" are causal convs — so here it is an explicitly
+flat pipeline over (B, T, C):
+
+  pack [x, mu, spks, cond] -> 320ch
+  down:  resnet -> 4 attn blocks -> causal conv
+  mid:   12 x (resnet -> 4 attn blocks)
+  up:    skip-concat -> resnet -> 4 attn blocks -> causal conv
+  final: causal block -> 1x1 proj -> 80ch
+
+Each attn block: LN -> Attention(8 heads x 64, bias-free qkv) -> LN ->
+GELU-FF(x4) (reference flow/transformer.py:148-443, diffusers semantics).
+Timestep embedding: sinusoidal(320, scale 1000) -> silu MLP -> 1024
+(reference decoder.py:15-30, 127-171, 821-827).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from jyutvoice_tpu.config import EstimatorConfig
+from jyutvoice_tpu.nn import attention, core
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Timestep embedding
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_pos_emb(t: Array, dim: int, scale: float = 1000.0) -> Array:
+    """(B,) -> (B, dim). reference decoder.py:15-30."""
+    half = dim // 2
+    emb = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    ang = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def init_time_mlp(key, in_dim: int, embed_dim: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        "linear1": core.linear_init(k1, in_dim, embed_dim),
+        "linear2": core.linear_init(k2, embed_dim, embed_dim),
+    }
+
+
+def apply_time_mlp(p, t_emb: Array) -> Array:
+    h = core.linear(p["linear1"], t_emb)
+    h = core.silu(h)
+    return core.linear(p["linear2"], h)
+
+
+# ---------------------------------------------------------------------------
+# Causal blocks
+# ---------------------------------------------------------------------------
+
+
+def init_causal_block(key, dim: int, dim_out: int):
+    """CausalConv1d(k=3) -> LayerNorm -> Mish (reference decoder.py:773-788)."""
+    return {
+        "conv": core.conv1d_init(key, dim, dim_out, 3),
+        "norm": core.layer_norm_init(dim_out),
+    }
+
+
+def apply_causal_block(p, x: Array, mask: Array) -> Array:
+    h = core.conv1d(p["conv"], x * mask, padding="causal")
+    h = core.layer_norm(p["norm"], h)
+    h = core.mish(h)
+    return h * mask
+
+
+def init_causal_resnet(key, dim: int, dim_out: int, time_emb_dim: int):
+    ks = jax.random.split(key, 4)
+    return {
+        "mlp": core.linear_init(ks[0], time_emb_dim, dim_out),
+        "block1": init_causal_block(ks[1], dim, dim_out),
+        "block2": init_causal_block(ks[2], dim_out, dim_out),
+        "res_conv": core.conv1d_init(ks[3], dim, dim_out, 1),
+    }
+
+
+def apply_causal_resnet(p, x: Array, mask: Array, t: Array) -> Array:
+    """reference decoder.py:98-115 (causal variant 791-795).
+    t: (B, time_embed_dim)."""
+    h = apply_causal_block(p["block1"], x, mask)
+    h = h + core.linear(p["mlp"], core.mish(t))[:, None, :]
+    h = apply_causal_block(p["block2"], h, mask)
+    return h + core.conv1d(p["res_conv"], x * mask, padding="valid")
+
+
+# ---------------------------------------------------------------------------
+# Transformer block (diffusers BasicTransformerBlock, layer_norm + gelu)
+# ---------------------------------------------------------------------------
+
+
+def init_transformer_block(key, dim: int, n_heads: int, head_dim: int, ff_mult: int = 4):
+    ks = jax.random.split(key, 4)
+    inner = dim * ff_mult
+    return {
+        "norm1": core.layer_norm_init(dim),
+        "attn": attention.plain_mha_init(ks[0], dim, n_heads, head_dim),
+        "norm3": core.layer_norm_init(dim),
+        "ff_in": core.linear_init(ks[1], dim, inner),
+        "ff_out": core.linear_init(ks[2], inner, dim),
+    }
+
+
+def apply_transformer_block(p, x: Array, attn_bias: Array, n_heads: int) -> Array:
+    h = core.layer_norm(p["norm1"], x)
+    x = x + attention.plain_mha(p["attn"], h, attn_bias, n_heads)
+    h = core.layer_norm(p["norm3"], x)
+    h = core.gelu_torch(core.linear(p["ff_in"], h))
+    return x + core.linear(p["ff_out"], h)
+
+
+# ---------------------------------------------------------------------------
+# Full estimator
+# ---------------------------------------------------------------------------
+
+
+def init_estimator(key, cfg: EstimatorConfig):
+    assert len(cfg.channels) == 1, "flat U-Net (live config channels=[256])"
+    ch = cfg.channels[0]
+    ks = jax.random.split(key, 8 + cfg.num_mid_blocks)
+
+    def stage(k, in_dim):
+        k1, k2 = jax.random.split(k)
+        return {
+            "resnet": init_causal_resnet(k1, in_dim, ch, cfg.time_embed_dim),
+            "blocks": [
+                init_transformer_block(
+                    jax.random.fold_in(k2, i), ch, cfg.num_heads, cfg.attention_head_dim
+                )
+                for i in range(cfg.n_blocks)
+            ],
+        }
+
+    params = {
+        "time_mlp": init_time_mlp(ks[0], cfg.in_channels, cfg.time_embed_dim),
+        "down": stage(ks[1], cfg.in_channels),
+        "down_conv": core.conv1d_init(ks[2], ch, ch, 3),
+        "mid": [stage(ks[8 + i], ch) for i in range(cfg.num_mid_blocks)],
+        "up": stage(ks[3], ch * 2),
+        "up_conv": core.conv1d_init(ks[4], ch, ch, 3),
+        "final_block": init_causal_block(ks[5], ch, ch),
+        "final_proj": core.conv1d_init(ks[6], ch, cfg.out_channels, 1),
+    }
+    return params
+
+
+def _stage(p, x: Array, mask: Array, t: Array, attn_bias: Array, n_heads: int) -> Array:
+    x = apply_causal_resnet(p["resnet"], x, mask, t)
+    for blk in p["blocks"]:
+        x = apply_transformer_block(blk, x, attn_bias, n_heads)
+    return x
+
+
+def apply_estimator(
+    p,
+    cfg: EstimatorConfig,
+    x: Array,
+    mask: Array,
+    mu: Array,
+    t: Array,
+    spks: Array,
+    cond: Array,
+    streaming: bool = False,
+) -> Array:
+    """Velocity field estimate.
+
+    x, mu, cond: (B, T, 80); mask: (B, T, 1); t: (B,); spks: (B, 80).
+    Returns (B, T, 80). reference decoder.py:917-1018.
+    """
+    b, seq, _ = x.shape
+    t_emb = sinusoidal_pos_emb(t, cfg.in_channels).astype(x.dtype)
+    t_emb = apply_time_mlp(p["time_mlp"], t_emb)
+
+    spks_t = jnp.broadcast_to(spks[:, None, :], (b, seq, spks.shape[-1])).astype(x.dtype)
+    h = jnp.concatenate([x, mu, spks_t, cond], axis=-1)  # (B, T, 320)
+
+    pad = mask[:, :, 0].astype(bool)
+    attn_mask = core.chunk_attn_mask(
+        pad, cfg.static_chunk_size if streaming else 0, cfg.num_decoding_left_chunks
+    )
+    attn_bias = core.mask_to_bias(attn_mask)[:, None, :, :]  # (B,1,T,T)
+
+    h = _stage(p["down"], h, mask, t_emb, attn_bias, cfg.num_heads)
+    skip = h
+    h = core.conv1d(p["down_conv"], h * mask, padding="causal")
+    for mid in p["mid"]:
+        h = _stage(mid, h, mask, t_emb, attn_bias, cfg.num_heads)
+    h = jnp.concatenate([h, skip], axis=-1)
+    h = _stage(p["up"], h, mask, t_emb, attn_bias, cfg.num_heads)
+    h = core.conv1d(p["up_conv"], h * mask, padding="causal")
+    h = apply_causal_block(p["final_block"], h, mask)
+    out = core.conv1d(p["final_proj"], h * mask, padding="valid")
+    return out * mask

@@ -146,3 +146,75 @@ def convert_duration_predictor(
         "proj": _conv(sd, f"{pre}proj"),
         "cond": _conv(sd, f"{pre}cond"),
     }
+
+
+# ---------------------------------------------------------------------------
+# CFM estimator (reference flow/decoder.py:798-1018)
+# ---------------------------------------------------------------------------
+
+
+def _causal_block(sd: SD, name: str) -> dict:
+    """CausalBlock1D.block = Sequential(conv, Transpose, LayerNorm, Transpose, Mish)."""
+    return {
+        "conv": _conv(sd, f"{name}.block.0"),
+        "norm": _layer_norm(sd, f"{name}.block.2"),
+    }
+
+
+def _causal_resnet(sd: SD, name: str) -> dict:
+    return {
+        "mlp": _linear(sd, f"{name}.mlp.1"),  # Sequential(Mish, Linear)
+        "block1": _causal_block(sd, f"{name}.block1"),
+        "block2": _causal_block(sd, f"{name}.block2"),
+        "res_conv": _conv(sd, f"{name}.res_conv"),
+    }
+
+
+def _basic_transformer_block(sd: SD, name: str) -> dict:
+    return {
+        "norm1": _layer_norm(sd, f"{name}.norm1"),
+        "attn": {
+            "q": _linear(sd, f"{name}.attn1.to_q"),
+            "k": _linear(sd, f"{name}.attn1.to_k"),
+            "v": _linear(sd, f"{name}.attn1.to_v"),
+            "o": _linear(sd, f"{name}.attn1.to_out.0"),
+        },
+        "norm3": _layer_norm(sd, f"{name}.norm3"),
+        "ff_in": _linear(sd, f"{name}.ff.net.0.proj"),
+        "ff_out": _linear(sd, f"{name}.ff.net.2"),
+    }
+
+
+def _estimator_stage(sd: SD, resnet_name: str, blocks_name: str, n_blocks: int) -> dict:
+    return {
+        "resnet": _causal_resnet(sd, resnet_name),
+        "blocks": [
+            _basic_transformer_block(sd, f"{blocks_name}.{j}") for j in range(n_blocks)
+        ],
+    }
+
+
+def convert_estimator(sd: SD, cfg: EstimatorConfig, prefix: str = "") -> dict:
+    pre = prefix
+    return {
+        "time_mlp": {
+            "linear1": _linear(sd, f"{pre}time_mlp.linear_1"),
+            "linear2": _linear(sd, f"{pre}time_mlp.linear_2"),
+        },
+        "down": _estimator_stage(
+            sd, f"{pre}down_blocks.0.0", f"{pre}down_blocks.0.1", cfg.n_blocks
+        ),
+        "down_conv": _conv(sd, f"{pre}down_blocks.0.2"),
+        "mid": [
+            _estimator_stage(
+                sd, f"{pre}mid_blocks.{i}.0", f"{pre}mid_blocks.{i}.1", cfg.n_blocks
+            )
+            for i in range(cfg.num_mid_blocks)
+        ],
+        "up": _estimator_stage(
+            sd, f"{pre}up_blocks.0.0", f"{pre}up_blocks.0.1", cfg.n_blocks
+        ),
+        "up_conv": _conv(sd, f"{pre}up_blocks.0.2"),
+        "final_block": _causal_block(sd, f"{pre}final_block"),
+        "final_proj": _conv(sd, f"{pre}final_proj"),
+    }
