@@ -1,0 +1,348 @@
+"""HiFT vocoder: NSF harmonic source + iSTFT HiFi-GAN.
+
+TPU-native re-design of the reference HiFTGenerator
+(jyutvoice/hifigan/generator.py:239-466) + ConvRNNF0Predictor
+(hifigan/f0_predictor.py:19-55). All weight-norm convs are folded to plain
+convs at weight-conversion time; activations are channels-last.
+
+TPU-first choices:
+  * the source STFT and the final iSTFT (n_fft=16, hop=4) are framed
+    matmuls + a fixed-kernel conv_transpose overlap-add — no FFT primitive,
+    everything lands on the MXU;
+  * the sine source uses `jnp.cumsum` phase accumulation over samples
+    (parallel prefix-sum on the VPU);
+  * randomness (initial harmonic phase, noise) comes from an explicit PRNG
+    key; pass `deterministic=True` to zero it for parity testing (the
+    reference draws untracked torch RNG here, generator.py:155-171).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jyutvoice_tpu.config import HiFTConfig
+from jyutvoice_tpu.nn import core
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# f0 predictor (reference hifigan/f0_predictor.py:19-55)
+# ---------------------------------------------------------------------------
+
+
+def init_f0_predictor(key, cfg: HiFTConfig):
+    ks = jax.random.split(key, 6)
+    chans = [cfg.in_channels] + [cfg.f0_predictor_cond_channels] * 5
+    return {
+        "convs": [
+            core.conv1d_init(ks[i], chans[i], chans[i + 1], 3) for i in range(5)
+        ],
+        "classifier": core.linear_init(ks[5], cfg.f0_predictor_cond_channels, 1),
+    }
+
+
+def apply_f0_predictor(p, mel: Array) -> Array:
+    """mel: (B, T, 80) -> f0 (B, T)."""
+    h = mel
+    for conv in p["convs"]:
+        h = core.elu(core.conv1d(conv, h, padding="same_torch"))
+    return jnp.abs(core.linear(p["classifier"], h))[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Sine source (reference generator.py:105-236)
+# ---------------------------------------------------------------------------
+
+
+def sine_source(
+    p,
+    f0_up: Array,
+    cfg: HiFTConfig,
+    rng: Optional[Array],
+    deterministic: bool,
+) -> Array:
+    """f0_up: (B, L) upsampled f0 in Hz at audio rate -> source (B, L, 1)."""
+    b, length = f0_up.shape
+    n_harm = cfg.nb_harmonics + 1
+    mult = jnp.arange(1, n_harm + 1, dtype=jnp.float32)  # (H,)
+    f_mat = f0_up[:, :, None] * mult[None, None, :] / cfg.sampling_rate  # (B,L,H)
+    theta = 2.0 * jnp.pi * (jnp.cumsum(f_mat, axis=1) % 1.0)
+    if deterministic or rng is None:
+        phase = jnp.zeros((b, 1, n_harm))
+    else:
+        k1, _ = jax.random.split(rng)
+        phase = jax.random.uniform(
+            k1, (b, 1, n_harm), minval=-jnp.pi, maxval=jnp.pi
+        )
+        phase = phase.at[:, :, 0].set(0.0)
+    sine = cfg.nsf_alpha * jnp.sin(theta + phase)
+
+    uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)[:, :, None]
+    noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
+    if deterministic or rng is None:
+        noise = jnp.zeros_like(sine)
+    else:
+        _, k2 = jax.random.split(rng)
+        noise = noise_amp * jax.random.normal(k2, sine.shape)
+    sine = sine * uv + noise
+    merged = jnp.tanh(core.linear(p["l_linear"], sine))  # (B, L, 1)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Tiny STFT / iSTFT (n_fft=16, hop=4) as matmul + conv_transpose OLA
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def _small_dft_matrices(n_fft: int):
+    n_bins = n_fft // 2 + 1
+    n = np.arange(n_fft)
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))  # periodic hann
+    t = n[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * t * k / n_fft
+    cos_m = (np.cos(ang) * window[:, None]).astype(np.float32)
+    sin_m = (-np.sin(ang) * window[:, None]).astype(np.float32)
+    return cos_m, sin_m
+
+
+@functools.lru_cache(maxsize=4)
+def _small_idft_matrices(n_fft: int):
+    """(n_bins, n_fft) matrices: time = Re @ C + Im @ S, with irfft scaling."""
+    n_bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[None, :]
+    k = np.arange(n_bins)[:, None]
+    ang = 2.0 * np.pi * k * n / n_fft
+    scale = np.full((n_bins, 1), 2.0 / n_fft)
+    scale[0] = 1.0 / n_fft
+    scale[-1] = 1.0 / n_fft
+    c = (np.cos(ang) * scale).astype(np.float32)
+    s = (-np.sin(ang) * scale).astype(np.float32)
+    return c, s
+
+
+def small_stft(x: Array, n_fft: int, hop: int) -> Tuple[Array, Array]:
+    """torch.stft(center=True) semantics: (B, L) -> (B, T, n_bins) re/im."""
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    b, length = x.shape
+    n_frames = 1 + (length - n_fft) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = x[:, idx]
+    cos_m, sin_m = _small_dft_matrices(n_fft)
+    re = jnp.dot(frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
+    return re, im
+
+
+@functools.lru_cache(maxsize=4)
+def _ola_kernel(n_fft: int) -> np.ndarray:
+    """conv_transpose kernel (K=n_fft, C_in=n_fft, C_out=1): tap k reads ch k."""
+    kern = np.zeros((n_fft, n_fft, 1), dtype=np.float32)
+    for k in range(n_fft):
+        # lax conv is correlation: tap c of frame m lands at m*hop + c when
+        # the kernel is spatially flipped
+        kern[k, n_fft - 1 - k, 0] = 1.0
+    return kern
+
+
+def small_istft(re: Array, im: Array, n_fft: int, hop: int) -> Array:
+    """torch.istft(center=True) semantics: (B, T, n_bins) -> (B, (T-1)*hop)."""
+    c, s = _small_idft_matrices(n_fft)
+    frames = (
+        jnp.dot(re, jnp.asarray(c), preferred_element_type=jnp.float32)
+        + jnp.dot(im, jnp.asarray(s), preferred_element_type=jnp.float32)
+    )  # (B, T, n_fft) time frames
+    n = np.arange(n_fft)
+    window = (0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))).astype(np.float32)
+    frames = frames * window[None, None, :]
+    # overlap-add as a fixed-kernel transposed conv
+    kern = jnp.asarray(_ola_kernel(n_fft))
+    y = jax.lax.conv_general_dilated(
+        frames,
+        kern,
+        window_strides=(1,),
+        padding=[(n_fft - 1, n_fft - 1)],
+        lhs_dilation=(hop,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )[:, :, 0]
+    # y length = (T-1)*hop + n_fft; window-square envelope normalization
+    t_frames = re.shape[1]
+    wsq = window * window
+    env = jax.lax.conv_general_dilated(
+        jnp.broadcast_to(wsq[None, None, :], (1, t_frames, n_fft)),
+        kern,
+        window_strides=(1,),
+        padding=[(n_fft - 1, n_fft - 1)],
+        lhs_dilation=(hop,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )[0, :, 0]
+    y = y / jnp.maximum(env, 1e-11)
+    half = n_fft // 2
+    return y[:, half:-half]
+
+
+# ---------------------------------------------------------------------------
+# ResBlock (reference generator.py:43-102)
+# ---------------------------------------------------------------------------
+
+
+def init_resblock(key, channels: int, kernel_size: int, dilations: Tuple[int, ...]):
+    ks = jax.random.split(key, 2 * len(dilations))
+    return {
+        "convs1": [
+            core.conv1d_init(ks[2 * i], channels, channels, kernel_size)
+            for i in range(len(dilations))
+        ],
+        "convs2": [
+            core.conv1d_init(ks[2 * i + 1], channels, channels, kernel_size)
+            for i in range(len(dilations))
+        ],
+        "alphas1": [jnp.ones((channels,)) for _ in dilations],
+        "alphas2": [jnp.ones((channels,)) for _ in dilations],
+        "dilations": list(dilations),
+        "kernel_size": kernel_size,
+    }
+
+
+def apply_resblock(p, x: Array) -> Array:
+    k = p["kernel_size"]
+    for c1, c2, a1, a2, d in zip(
+        p["convs1"], p["convs2"], p["alphas1"], p["alphas2"], p["dilations"]
+    ):
+        xt = core.snake(x, a1)
+        pad = (k * d - d) // 2
+        xt = core.conv1d(c1, xt, padding=(pad, pad), dilation=d)
+        xt = core.snake(xt, a2)
+        pad1 = (k - 1) // 2
+        xt = core.conv1d(c2, xt, padding=(pad1, pad1))
+        x = xt + x
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+
+def init_hift(key, cfg: HiFTConfig):
+    ks = jax.random.split(key, 32)
+    ki = iter(ks)
+    base = cfg.base_channels
+    n_fft_src = cfg.istft_n_fft + 2
+
+    ups = []
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        ups.append(core.conv_transpose1d_init(next(ki), base // (2**i), base // (2 ** (i + 1)), k))
+
+    downsample_rates = [1] + list(cfg.upsample_rates[::-1][:-1])
+    downsample_cum = list(np.cumprod(downsample_rates))[::-1]
+    source_downs, source_resblocks = [], []
+    for i, (u, k, d) in enumerate(
+        zip(downsample_cum, cfg.source_resblock_kernel_sizes, cfg.source_resblock_dilation_sizes)
+    ):
+        ch = base // (2 ** (i + 1))
+        if u == 1:
+            source_downs.append(
+                {"conv": core.conv1d_init(next(ki), n_fft_src, ch, 1), "stride": 1, "k": 1}
+            )
+        else:
+            source_downs.append(
+                {
+                    "conv": core.conv1d_init(next(ki), n_fft_src, ch, int(u) * 2),
+                    "stride": int(u),
+                    "k": int(u) * 2,
+                }
+            )
+        source_resblocks.append(init_resblock(next(ki), ch, k, tuple(d)))
+
+    resblocks = []
+    for i in range(len(cfg.upsample_rates)):
+        ch = base // (2 ** (i + 1))
+        for k, d in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            resblocks.append(init_resblock(next(ki), ch, k, tuple(d)))
+
+    return {
+        "f0_predictor": init_f0_predictor(next(ki), cfg),
+        "m_source": {"l_linear": core.linear_init(next(ki), cfg.nb_harmonics + 1, 1)},
+        "conv_pre": core.conv1d_init(next(ki), cfg.in_channels, base, 7),
+        "ups": ups,
+        "source_downs": source_downs,
+        "source_resblocks": source_resblocks,
+        "resblocks": resblocks,
+        "conv_post": core.conv1d_init(next(ki), ch, n_fft_src, 7),
+    }
+
+
+def hift_decode(p, cfg: HiFTConfig, mel: Array, source: Array) -> Array:
+    """mel: (B, T, 80); source: (B, L=480T, 1) -> waveform (B, 480T).
+
+    reference generator.py:396-432.
+    """
+    s_re, s_im = small_stft(source[:, :, 0], cfg.istft_n_fft, cfg.istft_hop_len)
+    s_stft = jnp.concatenate([s_re, s_im], axis=-1)  # (B, T_s, n_fft+2)
+
+    x = core.conv1d(p["conv_pre"], mel, padding="same_torch")
+    num_up = len(cfg.upsample_rates)
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    for i in range(num_up):
+        u = cfg.upsample_rates[i]
+        k = cfg.upsample_kernel_sizes[i]
+        x = core.leaky_relu(x, cfg.lrelu_slope)
+        x = core.conv_transpose1d(p["ups"][i], x, stride=u, padding=(k - u) // 2)
+        if i == num_up - 1:
+            # reflection_pad (1, 0) (reference generator.py:351, 407-408)
+            x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
+        sd = p["source_downs"][i]
+        if sd["stride"] == 1:
+            si = core.conv1d(sd["conv"], s_stft, padding="valid")
+        else:
+            pad = sd["stride"] // 2
+            si = core.conv1d(sd["conv"], s_stft, stride=sd["stride"], padding=(pad, pad))
+        si = apply_resblock(p["source_resblocks"][i], si)
+        x = x + si
+        xs = None
+        for j in range(num_kernels):
+            out = apply_resblock(p["resblocks"][i * num_kernels + j], x)
+            xs = out if xs is None else xs + out
+        x = xs / num_kernels
+
+    x = core.leaky_relu(x, 0.01)  # default F.leaky_relu slope
+    x = core.conv1d(p["conv_post"], x, padding="same_torch")
+    n_bins = cfg.istft_n_fft // 2 + 1
+    magnitude = jnp.clip(jnp.exp(x[:, :, :n_bins]), max=1e2)
+    phase = jnp.sin(x[:, :, n_bins:])
+    re = magnitude * jnp.cos(phase)
+    im = magnitude * jnp.sin(phase)
+    wav = small_istft(re, im, cfg.istft_n_fft, cfg.istft_hop_len)
+    return jnp.clip(wav, -cfg.audio_limit, cfg.audio_limit)
+
+
+def hift_inference(
+    p,
+    cfg: HiFTConfig,
+    mel: Array,
+    *,
+    rng: Optional[Array] = None,
+    deterministic: bool = True,
+    cache_source: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """mel (B, T, 80) -> (wav (B, 480T), source (B, 480T, 1)).
+
+    reference generator.py:450-466.
+    """
+    f0 = apply_f0_predictor(p["f0_predictor"], mel)  # (B, T)
+    f0_up = jnp.repeat(f0, cfg.total_upsample, axis=1)  # nearest upsample
+    s = sine_source(p["m_source"], f0_up, cfg, rng, deterministic)
+    if cache_source is not None and cache_source.shape[1] > 0:
+        s = jnp.concatenate([cache_source, s[:, cache_source.shape[1] :, :]], axis=1)
+    wav = hift_decode(p, cfg, mel, s)
+    return wav, s

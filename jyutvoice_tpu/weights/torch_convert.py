@@ -194,6 +194,45 @@ def _estimator_stage(sd: SD, resnet_name: str, blocks_name: str, n_blocks: int) 
     }
 
 
+# ---------------------------------------------------------------------------
+# Weight-norm folding (HiFT convs; reference generator.py:26,288 etc.)
+# ---------------------------------------------------------------------------
+
+
+def _wn_weight(sd: SD, name: str) -> np.ndarray:
+    """Return the effective conv weight, folding weight-norm if present.
+
+    Handles the modern parametrization keys (`parametrizations.weight.
+    original0/1`), the legacy `weight_g`/`weight_v` pair, and plain weights.
+    Norm is over all dims except dim 0 (torch weight_norm default).
+    """
+    if f"{name}.parametrizations.weight.original0" in sd:
+        g = sd[f"{name}.parametrizations.weight.original0"]
+        v = sd[f"{name}.parametrizations.weight.original1"]
+    elif f"{name}.weight_g" in sd:
+        g = sd[f"{name}.weight_g"]
+        v = sd[f"{name}.weight_v"]
+    else:
+        return sd[f"{name}.weight"]
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=axes, keepdims=True))
+    return (g * (v / norm)).astype(np.float32)
+
+
+def _conv_wn(sd: SD, name: str) -> dict:
+    p = {"w": jnp.asarray(np.transpose(_wn_weight(sd, name), (2, 1, 0)))}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _conv_transpose_wn(sd: SD, name: str) -> dict:
+    p = {"w": jnp.asarray(np.transpose(_wn_weight(sd, name), (2, 0, 1)))}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
 def convert_estimator(sd: SD, cfg: EstimatorConfig, prefix: str = "") -> dict:
     pre = prefix
     return {
@@ -217,4 +256,75 @@ def convert_estimator(sd: SD, cfg: EstimatorConfig, prefix: str = "") -> dict:
         "up_conv": _conv(sd, f"{pre}up_blocks.0.2"),
         "final_block": _causal_block(sd, f"{pre}final_block"),
         "final_proj": _conv(sd, f"{pre}final_proj"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# HiFT vocoder (reference hifigan/generator.py:239-466, f0_predictor.py:19-55)
+# ---------------------------------------------------------------------------
+
+
+def _resblock(sd: SD, name: str, kernel_size: int, dilations) -> dict:
+    n = len(dilations)
+    return {
+        "convs1": [_conv_wn(sd, f"{name}.convs1.{i}") for i in range(n)],
+        "convs2": [_conv_wn(sd, f"{name}.convs2.{i}") for i in range(n)],
+        "alphas1": [
+            jnp.asarray(sd[f"{name}.activations1.{i}.alpha"]) for i in range(n)
+        ],
+        "alphas2": [
+            jnp.asarray(sd[f"{name}.activations2.{i}.alpha"]) for i in range(n)
+        ],
+        "dilations": list(dilations),
+        "kernel_size": kernel_size,
+    }
+
+
+def convert_hift(sd: SD, cfg: HiFTConfig, prefix: str = "") -> dict:
+    pre = prefix
+    f0_pred = {
+        # condnet = Sequential(conv, ELU, conv, ELU, ...) -> indices 0,2,4,6,8
+        "convs": [
+            _conv_wn(sd, f"{pre}f0_predictor.condnet.{2 * i}") for i in range(5)
+        ],
+        "classifier": _linear(sd, f"{pre}f0_predictor.classifier"),
+    }
+    ups = [
+        _conv_transpose_wn(sd, f"{pre}ups.{i}")
+        for i in range(len(cfg.upsample_rates))
+    ]
+    downsample_rates = [1] + list(cfg.upsample_rates[::-1][:-1])
+    downsample_cum = list(np.cumprod(downsample_rates))[::-1]
+    source_downs = []
+    source_resblocks = []
+    for i, (u, k, d) in enumerate(
+        zip(
+            downsample_cum,
+            cfg.source_resblock_kernel_sizes,
+            cfg.source_resblock_dilation_sizes,
+        )
+    ):
+        source_downs.append(
+            {
+                "conv": _conv(sd, f"{pre}source_downs.{i}"),
+                "stride": int(u) if u != 1 else 1,
+                "k": int(u) * 2 if u != 1 else 1,
+            }
+        )
+        source_resblocks.append(_resblock(sd, f"{pre}source_resblocks.{i}", k, d))
+    resblocks = []
+    idx = 0
+    for i in range(len(cfg.upsample_rates)):
+        for k, d in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            resblocks.append(_resblock(sd, f"{pre}resblocks.{idx}", k, d))
+            idx += 1
+    return {
+        "f0_predictor": f0_pred,
+        "m_source": {"l_linear": _linear(sd, f"{pre}m_source.l_linear")},
+        "conv_pre": _conv_wn(sd, f"{pre}conv_pre"),
+        "ups": ups,
+        "source_downs": source_downs,
+        "source_resblocks": source_resblocks,
+        "resblocks": resblocks,
+        "conv_post": _conv_wn(sd, f"{pre}conv_post"),
     }
