@@ -260,6 +260,62 @@ def convert_estimator(sd: SD, cfg: EstimatorConfig, prefix: str = "") -> dict:
 
 
 # ---------------------------------------------------------------------------
+# FlowEncoder / UpsampleConformerEncoder
+# (reference infer.py:35-82, transformer/upsample_encoder.py:140-514)
+# ---------------------------------------------------------------------------
+
+
+def _conformer_layer(sd: SD, name: str) -> dict:
+    return {
+        "attn": {
+            "q": _linear(sd, f"{name}.self_attn.linear_q"),
+            "k": _linear(sd, f"{name}.self_attn.linear_k"),
+            "v": _linear(sd, f"{name}.self_attn.linear_v"),
+            "o": _linear(sd, f"{name}.self_attn.linear_out"),
+            "pos": _linear(sd, f"{name}.self_attn.linear_pos"),
+            "pos_bias_u": jnp.asarray(sd[f"{name}.self_attn.pos_bias_u"]),
+            "pos_bias_v": jnp.asarray(sd[f"{name}.self_attn.pos_bias_v"]),
+        },
+        "norm_mha": _layer_norm(sd, f"{name}.norm_mha"),
+        "ff": {
+            "w1": _linear(sd, f"{name}.feed_forward.w_1"),
+            "w2": _linear(sd, f"{name}.feed_forward.w_2"),
+        },
+        "norm_ff": _layer_norm(sd, f"{name}.norm_ff"),
+    }
+
+
+def convert_flow_encoder(sd: SD, cfg: FlowEncoderConfig, prefix: str = "") -> dict:
+    pre = prefix
+    return {
+        "input_embedding": _emb(sd, f"{pre}input_embedding"),
+        "embed": {
+            "linear": _linear(sd, f"{pre}encoder.embed.out.0"),
+            "norm": _layer_norm(sd, f"{pre}encoder.embed.out.1"),
+        },
+        "pre_lookahead": {
+            "conv1": _conv(sd, f"{pre}encoder.pre_lookahead_layer.conv1"),
+            "conv2": _conv(sd, f"{pre}encoder.pre_lookahead_layer.conv2"),
+        },
+        "encoders": [
+            _conformer_layer(sd, f"{pre}encoder.encoders.{i}")
+            for i in range(cfg.num_blocks)
+        ],
+        "up_conv": _conv(sd, f"{pre}encoder.up_layer.conv"),
+        "up_embed": {
+            "linear": _linear(sd, f"{pre}encoder.up_embed.out.0"),
+            "norm": _layer_norm(sd, f"{pre}encoder.up_embed.out.1"),
+        },
+        "up_encoders": [
+            _conformer_layer(sd, f"{pre}encoder.up_encoders.{i}")
+            for i in range(cfg.num_up_blocks)
+        ],
+        "after_norm": _layer_norm(sd, f"{pre}encoder.after_norm"),
+        "encoder_proj": _linear(sd, f"{pre}encoder_proj"),
+    }
+
+
+# ---------------------------------------------------------------------------
 # HiFT vocoder (reference hifigan/generator.py:239-466, f0_predictor.py:19-55)
 # ---------------------------------------------------------------------------
 
