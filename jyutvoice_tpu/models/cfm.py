@@ -107,26 +107,40 @@ def cfm_loss(
     spks: Array,
     cond: Array,
     streaming: bool = False,
+    t_override: Optional[Array] = None,
+    z_override: Optional[Array] = None,
+    cfg_keep_override: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Training flow-matching loss (reference flow_matching.py:299-340).
 
     x1 (target mel), mu, cond: (B, T, 80); mask (B, T, 1); spks (B, 80).
     Random timestep (cosine schedule), OT path, CFG dropout of conditioning.
+    The *_override args inject fixed randomness for parity tests.
     """
     b = x1.shape[0]
     k_t, k_z, k_cfg = jax.random.split(rng, 3)
-    t = jax.random.uniform(k_t, (b, 1, 1), dtype=x1.dtype)
-    if cfg.t_scheduler == "cosine":
-        t = 1.0 - jnp.cos(t * 0.5 * jnp.pi)
-    z = jax.random.normal(k_z, x1.shape, dtype=x1.dtype)
+    if t_override is None:
+        t = jax.random.uniform(k_t, (b, 1, 1), dtype=x1.dtype)
+        if cfg.t_scheduler == "cosine":
+            t = 1.0 - jnp.cos(t * 0.5 * jnp.pi)
+    else:
+        t = t_override.reshape(b, 1, 1)
+    z = (
+        jax.random.normal(k_z, x1.shape, dtype=x1.dtype)
+        if z_override is None
+        else z_override
+    )
 
     y = (1.0 - (1.0 - cfg.sigma_min) * t) * z + t * x1
     u = x1 - (1.0 - cfg.sigma_min) * z
 
     if cfg.training_cfg_rate > 0:
-        keep = (
-            jax.random.uniform(k_cfg, (b,)) > cfg.training_cfg_rate
-        ).astype(x1.dtype)
+        if cfg_keep_override is None:
+            keep = (
+                jax.random.uniform(k_cfg, (b,)) > cfg.training_cfg_rate
+            ).astype(x1.dtype)
+        else:
+            keep = cfg_keep_override.astype(x1.dtype)
         mu = mu * keep[:, None, None]
         spks = spks * keep[:, None]
         cond = cond * keep[:, None, None]

@@ -1,0 +1,2 @@
+from jyutvoice_tpu.pipeline.buckets import pick_bucket  # noqa: F401
+from jyutvoice_tpu.pipeline.synthesize import Synthesizer  # noqa: F401

@@ -1,0 +1,218 @@
+"""End-to-end synthesis pipeline: text -> token ids -> mel -> waveform.
+
+The TPU-native analog of the reference's infer.py main path
+(infer.py:271-446 + jyutvoice_tts.py:108-253 + generator.py:450-466):
+
+  * host: g2p + intersperse (pure python),
+  * device, compile-cached per length bucket:
+      phase 1  — duration graph (encoder + DP) -> required mel frames,
+      phase 2  — full mel graph (encoder -> durations -> expand -> prompt
+                 graft -> CFM Euler) at the (text, mel, prompt) bucket,
+      phase 3  — HiFT vocoder at the mel bucket.
+
+Compilation happens once per bucket tuple; subsequent calls reuse the cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jyutvoice_tpu.config import JyutVoiceConfig
+from jyutvoice_tpu.models import duration as dur_mod
+from jyutvoice_tpu.models import hift as hift_mod
+from jyutvoice_tpu.models import text_encoder as te_mod
+from jyutvoice_tpu.models import tts as tts_mod
+from jyutvoice_tpu.pipeline import buckets as bkt
+from jyutvoice_tpu.text import intersperse, text_to_sequence
+from jyutvoice_tpu.weights.noise import rand_noise
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    wav: np.ndarray  # (num_samples,) float32 at 24 kHz
+    mel: np.ndarray  # (T_mel, 80)
+    mel_frames: int
+    rtf: float  # wall-clock real-time factor (reference jyutvoice_tts.py:243)
+    timings: Dict[str, float]
+
+
+class Synthesizer:
+    """Holds params + per-bucket jit caches.
+
+    params_tts / params_hift are pytrees from the weights layer (converted
+    checkpoints) or random init (for benchmarking).
+    """
+
+    def __init__(
+        self,
+        cfg: JyutVoiceConfig,
+        params_tts,
+        params_hift,
+        *,
+        dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.params_tts = params_tts
+        self.params_hift = params_hift
+        self.dtype = dtype
+        self.noise = jnp.asarray(rand_noise())
+        self._dur_fns: Dict[int, callable] = {}
+        self._mel_fns: Dict[Tuple, callable] = {}
+        self._voc_fns: Dict[int, callable] = {}
+
+    # ---------------- device graphs ----------------
+
+    def _dur_fn(self, t_text: int):
+        if t_text not in self._dur_fns:
+            cfg = self.cfg.tts
+
+            @jax.jit
+            def f(params, x, x_lengths, lang, tone, word_pos, syllable_pos, spk):
+                enc = te_mod.apply_text_encoder(
+                    params["encoder"], cfg.encoder, x, x_lengths, lang, tone,
+                    word_pos, syllable_pos, spk,
+                )
+                logw = dur_mod.apply_duration_predictor(
+                    params["dp"], cfg.dp, enc.x, enc.x_mask, spk
+                )
+                w_ceil = jnp.ceil(jnp.exp(logw) * enc.x_mask)
+                return jnp.maximum(jnp.sum(w_ceil, axis=(1, 2)), 1.0)
+
+            self._dur_fns[t_text] = f
+        return self._dur_fns[t_text]
+
+    def _mel_fn(self, key: Tuple[int, int, int, int]):
+        if key not in self._mel_fns:
+            t_text, t_mel, t_prompt, n_steps = key
+            cfg = self.cfg.tts
+
+            @functools.partial(jax.jit, static_argnames=("length_scale",))
+            def f(params, noise, x, x_lengths, lang, tone, word_pos,
+                  syllable_pos, spk, prompt_feat, prompt_h, prompt_lengths,
+                  length_scale=1.0):
+                return tts_mod.synthesize_mel(
+                    params, cfg, x, x_lengths, lang, tone, word_pos,
+                    syllable_pos, spk, prompt_feat, prompt_h, prompt_lengths,
+                    t_mel_max=t_mel, n_timesteps=n_steps, rand_noise=noise,
+                    length_scale=length_scale,
+                )
+
+            self._mel_fns[key] = f
+        return self._mel_fns[key]
+
+    def _voc_fn(self, t_mel: int):
+        if t_mel not in self._voc_fns:
+            hift_cfg = self.cfg.hift
+
+            @jax.jit
+            def f(params, mel):
+                wav, _ = hift_mod.hift_inference(
+                    params, hift_cfg, mel, deterministic=True
+                )
+                return wav
+
+            self._voc_fns[t_mel] = f
+        return self._voc_fns[t_mel]
+
+    # ---------------- host API ----------------
+
+    def prepare_text(self, text: str, lang: str, phone: Optional[str] = None):
+        """g2p + blank interspersal -> padded int arrays (1, T_bucket)."""
+        ids, tones, word_pos, syllable_pos, lang_ids = text_to_sequence(
+            text, lang=lang, phone=phone
+        )
+        seqs = [intersperse(s, 0) for s in (ids, tones, word_pos, syllable_pos, lang_ids)]
+        n = len(seqs[0])
+        t_text = bkt.pick_bucket(n, bkt.TEXT_BUCKETS)
+        arrs = []
+        for s in seqs:
+            a = np.zeros((1, t_text), np.int32)
+            a[0, :n] = s
+            arrs.append(jnp.asarray(a))
+        return arrs, np.array([n], np.int32), t_text
+
+    def synthesize(
+        self,
+        text: str,
+        lang: str = "yue",
+        phone: Optional[str] = None,
+        spk_embed: Optional[np.ndarray] = None,
+        prompt_feat: Optional[np.ndarray] = None,  # (T_p, 80)
+        prompt_h: Optional[np.ndarray] = None,  # (T_p, 80)
+        n_timesteps: int = 10,
+        length_scale: float = 1.0,
+    ) -> SynthesisResult:
+        t0 = time.perf_counter()
+        (x, tone, word_pos, syllable_pos, lang_ids), n, t_text = self.prepare_text(
+            text, lang, phone
+        )
+        x_lengths = jnp.asarray(n)
+        if spk_embed is None:
+            spk = jnp.zeros((1, self.cfg.tts.spk_embed_dim), self.dtype)
+        else:
+            spk = jnp.asarray(spk_embed.reshape(1, -1), self.dtype)
+
+        # phase 1: required mel frames
+        y_len = int(
+            self._dur_fn(t_text)(
+                self.params_tts, x, x_lengths, lang_ids, tone, word_pos,
+                syllable_pos, spk,
+            )[0]
+        )
+        y_len = int(np.ceil(y_len * length_scale))
+        t_mel = bkt.pick_bucket(max(y_len, 1), bkt.MEL_BUCKETS)
+
+        # prompt padding
+        if prompt_feat is not None and prompt_h is not None:
+            p_len = prompt_feat.shape[0]
+            t_prompt = bkt.pick_bucket(p_len, bkt.PROMPT_BUCKETS[1:])
+            pf = np.zeros((1, t_prompt, 80), np.float32)
+            ph = np.zeros((1, t_prompt, 80), np.float32)
+            pf[0, :p_len] = prompt_feat
+            ph[0, :p_len] = prompt_h
+            plen = np.array([p_len], np.int32)
+        else:
+            t_prompt = 0
+            pf = np.zeros((1, 0, 80), np.float32)
+            ph = np.zeros((1, 0, 80), np.float32)
+            plen = np.array([0], np.int32)
+
+        t1 = time.perf_counter()
+        out = self._mel_fn((t_text, t_mel, t_prompt, n_timesteps))(
+            self.params_tts, self.noise, x, x_lengths, lang_ids, tone,
+            word_pos, syllable_pos, spk, jnp.asarray(pf), jnp.asarray(ph),
+            jnp.asarray(plen), length_scale=length_scale,
+        )
+        mel = out.mel
+        mel_frames = int(out.mel_lengths[0])
+        t2 = time.perf_counter()
+
+        wav = self._voc_fn(t_mel)(self.params_hift, mel)
+        wav.block_until_ready()
+        t3 = time.perf_counter()
+
+        num_samples = mel_frames * self.cfg.audio.hop_length
+        wav_np = np.asarray(wav)[0, :num_samples]
+        mel_np = np.asarray(mel)[0, :mel_frames]
+        elapsed = t3 - t0
+        audio_seconds = num_samples / self.cfg.audio.sample_rate
+        return SynthesisResult(
+            wav=wav_np,
+            mel=mel_np,
+            mel_frames=mel_frames,
+            rtf=elapsed / max(audio_seconds, 1e-9),
+            timings={
+                "frontend_and_duration": t1 - t0,
+                "mel": t2 - t1,
+                "vocoder": t3 - t2,
+                "total": elapsed,
+                "audio_seconds": audio_seconds,
+            },
+        )

@@ -260,6 +260,24 @@ def convert_estimator(sd: SD, cfg: EstimatorConfig, prefix: str = "") -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Full JyutVoiceTTS checkpoint (reference models/jyutvoice_tts.py:23-106)
+# ---------------------------------------------------------------------------
+
+
+def convert_tts(sd: SD, tts_cfg, prefix: str = "") -> dict:
+    """Map a full JyutVoiceTTS state_dict (Lightning ckpt or pretrain.pt)."""
+    pre = prefix
+    return {
+        "encoder": convert_text_encoder(sd, tts_cfg.encoder, f"{pre}encoder."),
+        "dp": convert_duration_predictor(sd, tts_cfg.dp, f"{pre}dp."),
+        "decoder": convert_estimator(
+            sd, tts_cfg.cfm.estimator, f"{pre}decoder.estimator."
+        ),
+        "spk_embed_affine_layer": _linear(sd, f"{pre}spk_embed_affine_layer"),
+    }
+
+
+# ---------------------------------------------------------------------------
 # FlowEncoder / UpsampleConformerEncoder
 # (reference infer.py:35-82, transformer/upsample_encoder.py:140-514)
 # ---------------------------------------------------------------------------

@@ -254,7 +254,18 @@ class _ShimFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
         if module.__name__ == "conformer":
             module.ConformerBlock = object
         if module.__name__ == "lightning":
-            module.LightningModule = nn.Module
+
+            class _LightningModule(nn.Module):
+                def save_hyperparameters(self, *a, **kw):
+                    pass
+
+                def log(self, *a, **kw):
+                    pass
+
+                def log_dict(self, *a, **kw):
+                    pass
+
+            module.LightningModule = _LightningModule
             module.LightningDataModule = object
             module.Callback = object
         if module.__name__ == "lightning.pytorch.utilities":

@@ -1,0 +1,259 @@
+"""End-to-end acoustic model parity: synthesise + training losses vs the
+reference JyutVoiceTTS (random weights through the converter)."""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "tests")
+import refshim
+
+refshim.install()
+
+import jax
+import jax.numpy as jnp
+
+from jyutvoice_tpu.config import TTSConfig
+from jyutvoice_tpu.models.tts import compute_losses, synthesize_mel
+from jyutvoice_tpu.weights.noise import rand_noise
+from jyutvoice_tpu.weights.torch_convert import convert_tts
+
+CFG = TTSConfig()
+
+
+def _build_ref_tts():
+    from omegaconf import DictConfig
+    from jyutvoice.flow.decoder import CausalConditionalDecoder
+    from jyutvoice.flow.flow_matching import CausalConditionalCFM
+    from jyutvoice.models.duration_predictor import DurationPredictor
+    from jyutvoice.models.jyutvoice_tts import JyutVoiceTTS
+    from jyutvoice.models.text_encoder import TextEncoder
+
+    torch.manual_seed(0)
+    e = CFG.encoder
+    encoder = TextEncoder(
+        encoder_type="RoPE Encoder",
+        encoder_params=DictConfig(
+            {
+                "n_feats": e.n_feats,
+                "n_channels": e.n_channels,
+                "filter_channels": e.filter_channels,
+                "filter_channels_dp": 256,
+                "n_heads": e.n_heads,
+                "n_layers": e.n_layers,
+                "kernel_size": e.kernel_size,
+                "p_dropout": e.p_dropout,
+                "prenet": True,
+                "gin_channels": e.gin_channels,
+            }
+        ),
+        n_vocab=e.n_vocab,
+        n_lang=e.n_lang,
+        n_tone=e.n_tone,
+    )
+    dp = DurationPredictor(
+        in_channels=CFG.dp.in_channels,
+        filter_channels=CFG.dp.filter_channels,
+        kernel_size=CFG.dp.kernel_size,
+        p_dropout=CFG.dp.p_dropout,
+        gin_channels=CFG.dp.gin_channels,
+    )
+    est_cfg = CFG.cfm.estimator
+    estimator = CausalConditionalDecoder(
+        in_channels=est_cfg.in_channels,
+        out_channels=est_cfg.out_channels,
+        channels=list(est_cfg.channels),
+        dropout=est_cfg.dropout,
+        attention_head_dim=est_cfg.attention_head_dim,
+        n_blocks=est_cfg.n_blocks,
+        num_mid_blocks=est_cfg.num_mid_blocks,
+        num_heads=est_cfg.num_heads,
+        act_fn=est_cfg.act_fn,
+        static_chunk_size=est_cfg.static_chunk_size,
+        num_decoding_left_chunks=est_cfg.num_decoding_left_chunks,
+    )
+    decoder = CausalConditionalCFM(
+        in_channels=CFG.cfm.in_channels,
+        cfm_params=DictConfig(
+            {
+                "sigma_min": CFG.cfm.sigma_min,
+                "solver": "euler",
+                "t_scheduler": "cosine",
+                "training_cfg_rate": CFG.cfm.training_cfg_rate,
+                "inference_cfg_rate": CFG.cfm.inference_cfg_rate,
+                "reg_loss_type": "l1",
+            }
+        ),
+        n_spks=1,
+        spk_emb_dim=CFG.cfm.spk_emb_dim,
+        estimator=estimator,
+    )
+    tts = JyutVoiceTTS(
+        encoder=encoder,
+        decoder=decoder,
+        dp=dp,
+        output_size=CFG.output_size,
+        spk_embed_dim=CFG.spk_embed_dim,
+        freeze_encoder=False,
+        freeze_decoder=True,
+    )
+    tts.eval()
+    return tts
+
+
+@pytest.fixture(scope="module")
+def ref_tts():
+    return _build_ref_tts()
+
+
+@pytest.fixture(scope="module")
+def params(ref_tts):
+    sd = {k: v.detach().numpy() for k, v in ref_tts.state_dict().items()}
+    return convert_tts(sd, CFG)
+
+
+@pytest.fixture(scope="module")
+def text_inputs():
+    torch.manual_seed(1)
+    b, t = 1, 17
+    return {
+        "x": torch.randint(1, CFG.encoder.n_vocab, (b, t)),
+        "x_lengths": torch.tensor([t]),
+        "lang": torch.randint(0, CFG.encoder.n_lang, (b, t)),
+        "tone": torch.randint(0, CFG.encoder.n_tone, (b, t)),
+        "word_pos": torch.randint(0, 4, (b, t)),
+        "syllable_pos": torch.randint(0, 4, (b, t)),
+        "spk_embed": torch.randn(b, CFG.spk_embed_dim),
+    }
+
+
+def test_rand_noise_matches_reference(ref_tts):
+    buf = rand_noise()
+    ref_buf = ref_tts.decoder.rand_noise.numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(buf, ref_buf, atol=0)
+
+
+def test_synthesise_parity_with_prompt(ref_tts, params, text_inputs):
+    torch.manual_seed(2)
+    t_prompt = 12
+    prompt_feat = torch.randn(1, t_prompt, 80)
+    prompt_h = torch.randn(1, t_prompt, 80)
+    n_steps = 3
+
+    with torch.no_grad():
+        ref = ref_tts.synthesise(
+            text_inputs["x"],
+            text_inputs["x_lengths"],
+            text_inputs["lang"],
+            text_inputs["tone"],
+            text_inputs["word_pos"],
+            text_inputs["syllable_pos"],
+            text_inputs["spk_embed"],
+            prompt_feat=prompt_feat,
+            prompt_h=prompt_h,
+            n_timesteps=n_steps,
+            length_scale=1.0,
+        )
+    ref_mel = ref["mel"].numpy()  # (1, 80, T_dynamic)
+    t_dyn = ref_mel.shape[2]
+
+    t_mel_max = t_dyn + 24  # pad to a larger static bucket
+    t_prompt_pad = t_prompt + 8
+    pf = np.zeros((1, t_prompt_pad, 80), np.float32)
+    ph = np.zeros((1, t_prompt_pad, 80), np.float32)
+    pf[:, :t_prompt] = prompt_feat.numpy()
+    ph[:, :t_prompt] = prompt_h.numpy()
+
+    out = synthesize_mel(
+        params,
+        CFG,
+        jnp.asarray(text_inputs["x"].numpy()),
+        jnp.asarray(text_inputs["x_lengths"].numpy()),
+        jnp.asarray(text_inputs["lang"].numpy()),
+        jnp.asarray(text_inputs["tone"].numpy()),
+        jnp.asarray(text_inputs["word_pos"].numpy()),
+        jnp.asarray(text_inputs["syllable_pos"].numpy()),
+        jnp.asarray(text_inputs["spk_embed"].numpy()),
+        jnp.asarray(pf),
+        jnp.asarray(ph),
+        jnp.asarray(np.array([t_prompt], np.int32)),
+        t_mel_max=t_mel_max,
+        n_timesteps=n_steps,
+        rand_noise=jnp.asarray(rand_noise()),
+    )
+    assert int(out.mel_lengths[0]) == t_dyn
+    got = np.asarray(out.mel)[0, :t_dyn].T  # -> (80, T)
+    mae = np.abs(got - ref_mel[0]).mean()
+    assert mae < 1e-2, f"mel MAE {mae}"
+    np.testing.assert_allclose(got, ref_mel[0], atol=6e-3, rtol=1e-2)
+
+
+def test_training_losses_parity(ref_tts, params, text_inputs, monkeypatch):
+    """dur/prior losses exact; diff loss via injected randomness."""
+    import random as pyrandom
+
+    torch.manual_seed(3)
+    b = 1
+    t_mel = 40
+    y = torch.randn(b, 80, t_mel)
+    y_lengths = torch.tensor([t_mel])
+    decoder_h = torch.randn(b, t_mel, 80)
+
+    # force reference conds teacher-forcing OFF: random.random() < 0.5 -> skip
+    # (jyutvoice_tts.py:327 `if random.random() < 0.5: continue`)
+    monkeypatch.setattr(pyrandom, "random", lambda: 0.01)
+    # fix the CFM randomness on the torch side
+    t_fixed = 0.37
+    z_fixed = torch.randn(b, 80, t_mel)
+    def _fixed_rand(*a, **kw):
+        size = tuple(a[0]) if isinstance(a[0], (list, tuple)) else tuple(a)
+        dtype = kw.get("dtype", torch.float32)
+        return torch.full(size, t_fixed, dtype=dtype)
+
+    monkeypatch.setattr(torch, "rand", _fixed_rand)
+    monkeypatch.setattr(torch, "randn_like", lambda x: z_fixed.clone())
+    # keep CFG conditioning (cfg_mask all True): rand returns t_fixed=0.37 > 0.2
+    with torch.no_grad():
+        dur_ref, prior_ref, diff_ref, attn_ref = ref_tts(
+            text_inputs["x"],
+            text_inputs["x_lengths"],
+            y,
+            y_lengths,
+            text_inputs["lang"],
+            text_inputs["tone"],
+            text_inputs["word_pos"],
+            text_inputs["syllable_pos"],
+            text_inputs["spk_embed"],
+            decoder_h.clone(),
+        )
+
+    t_cos = 1.0 - np.cos(t_fixed * 0.5 * np.pi)
+    losses = compute_losses(
+        params,
+        CFG,
+        jax.random.PRNGKey(0),
+        jnp.asarray(text_inputs["x"].numpy()),
+        jnp.asarray(text_inputs["x_lengths"].numpy()),
+        jnp.asarray(y.numpy().transpose(0, 2, 1)),
+        jnp.asarray(y_lengths.numpy()),
+        jnp.asarray(text_inputs["lang"].numpy()),
+        jnp.asarray(text_inputs["tone"].numpy()),
+        jnp.asarray(text_inputs["word_pos"].numpy()),
+        jnp.asarray(text_inputs["syllable_pos"].numpy()),
+        jnp.asarray(text_inputs["spk_embed"].numpy()),
+        jnp.asarray(decoder_h.numpy()),
+        cond_prob=1.0,  # teacher forcing off
+        cfm_overrides={
+            "t_override": jnp.asarray([t_cos], jnp.float32),
+            "z_override": jnp.asarray(z_fixed.numpy().transpose(0, 2, 1)),
+            "cfg_keep_override": jnp.ones((b,)),
+        },
+    )
+    np.testing.assert_array_equal(
+        np.asarray(losses.attn), attn_ref.numpy()
+    )
+    np.testing.assert_allclose(float(losses.dur_loss), float(dur_ref), rtol=1e-4)
+    np.testing.assert_allclose(float(losses.prior_loss), float(prior_ref), rtol=1e-4)
+    np.testing.assert_allclose(float(losses.diff_loss), float(diff_ref), rtol=1e-3)
