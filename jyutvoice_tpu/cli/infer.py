@@ -1,0 +1,150 @@
+"""Inference CLI — the analog of the reference's infer.py (infer.py:271-446).
+
+Example:
+  python -m jyutvoice_tpu.cli.infer \
+      --text "佢 係 邊 個" --lang yue --phone "keoi5 hai6 bin1 go3" \
+      --ckpt pretrained_models_tpu/tts.npz --hift pretrained_models_tpu/hift.npz \
+      --output out.wav
+
+Checkpoints may be native .npz pytrees (weights/provision.py) or reference
+torch files (.ckpt/.pt, converted on the fly when torch is available).
+Voice cloning needs --ref-audio plus the campplus/speech-tokenizer ONNX and
+flow-encoder weights, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import wave
+
+import numpy as np
+
+log = logging.getLogger("jyutvoice_tpu.infer")
+
+
+def save_wav(path: str, audio: np.ndarray, sr: int = 24000) -> None:
+    pcm = np.clip(audio, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype(np.int16)
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+
+
+def load_wav(path: str):
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        n = f.getnframes()
+        data = np.frombuffer(f.readframes(n), dtype=np.int16)
+        if f.getnchannels() > 1:
+            data = data.reshape(-1, f.getnchannels()).mean(axis=1)
+    return data.astype(np.float32) / 32768.0, sr
+
+
+def _load_params(path: str, kind: str, cfg):
+    from jyutvoice_tpu.weights import provision, torch_convert as tc
+
+    if path.endswith(".npz"):
+        return provision.load_pytree_npz(path)
+    sd = tc.load_torch_state_dict(path)
+    if kind == "tts":
+        return tc.convert_tts(sd, cfg.tts)
+    if kind == "hift":
+        return tc.convert_hift(sd, cfg.hift)
+    if kind == "flow_encoder":
+        return tc.convert_flow_encoder(sd, cfg.flow_encoder)
+    raise ValueError(kind)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="JyutVoice-TPU inference")
+    parser.add_argument("--text", required=True)
+    parser.add_argument("--lang", default="yue",
+                        choices=["yue", "zh", "en", "multilingual"])
+    parser.add_argument("--phone", default=None,
+                        help="explicit jyutping/pinyin (space separated)")
+    parser.add_argument("--ckpt", default=None, help="tts checkpoint (.npz/.ckpt/.pt)")
+    parser.add_argument("--hift", default=None, help="hift checkpoint")
+    parser.add_argument("--flow-encoder", default=None)
+    parser.add_argument("--campplus-onnx", default=None)
+    parser.add_argument("--tokenizer-onnx", default=None)
+    parser.add_argument("--ref-audio", default=None, help="voice cloning prompt wav")
+    parser.add_argument("--output", default="output.wav")
+    parser.add_argument("--n-timesteps", type=int, default=10)
+    parser.add_argument("--length-scale", type=float, default=0.9)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+
+    from jyutvoice_tpu.config import JyutVoiceConfig
+    from jyutvoice_tpu.models.hift import init_hift
+    from jyutvoice_tpu.models.tts import init_tts
+    from jyutvoice_tpu.pipeline.prompt import PromptExtractor
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    cfg = JyutVoiceConfig()
+    key = jax.random.PRNGKey(args.seed)
+    if args.ckpt:
+        params_tts = _load_params(args.ckpt, "tts", cfg)
+    else:
+        log.warning("no --ckpt given: using RANDOM tts weights (smoke mode)")
+        params_tts = init_tts(key, cfg.tts)
+    if args.hift:
+        params_hift = _load_params(args.hift, "hift", cfg)
+    else:
+        log.warning("no --hift given: using RANDOM vocoder weights (smoke mode)")
+        params_hift = init_hift(jax.random.fold_in(key, 1), cfg.hift)
+
+    spk_embed = None
+    prompt_feat = prompt_h = None
+    if args.ref_audio:
+        fe_params = (
+            _load_params(args.flow_encoder, "flow_encoder", cfg)
+            if args.flow_encoder
+            else None
+        )
+        extractor = PromptExtractor(
+            flow_encoder_params=fe_params,
+            flow_encoder_cfg=cfg.flow_encoder,
+            campplus_onnx=args.campplus_onnx,
+            tokenizer_onnx=args.tokenizer_onnx,
+        )
+        audio, sr = load_wav(args.ref_audio)
+        feats = extractor(audio, sr)
+        spk_embed = feats.spk_embed
+        prompt_feat = feats.prompt_feat
+        prompt_h = feats.prompt_h
+        if prompt_h is None:
+            log.warning(
+                "no speech tokenizer / flow encoder: cloning uses mel prompt only"
+            )
+            prompt_feat = None
+
+    synth = Synthesizer(cfg, params_tts, params_hift)
+    result = synth.synthesize(
+        args.text,
+        lang=args.lang,
+        phone=args.phone,
+        spk_embed=spk_embed,
+        prompt_feat=prompt_feat,
+        prompt_h=prompt_h,
+        n_timesteps=args.n_timesteps,
+        length_scale=args.length_scale,
+    )
+    save_wav(args.output, result.wav)
+    log.info(
+        "wrote %s: %.2fs audio, rtf=%.3f, timings=%s",
+        args.output,
+        len(result.wav) / 24000,
+        result.rtf,
+        {k: round(v, 4) for k, v in result.timings.items()},
+    )
+
+
+if __name__ == "__main__":
+    main()

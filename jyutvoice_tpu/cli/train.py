@@ -1,0 +1,167 @@
+"""Training CLI — the analog of `python -m jyutvoice.train`
+(reference jyutvoice/train.py:12-117 + baselightningmodule.py).
+
+Fine-tunes the text encoder + duration predictor against a frozen CosyVoice2
+flow decoder, data-parallel over all visible devices.
+
+  python -m jyutvoice_tpu.cli.train --dataset tmp/dataset_small \
+      --pretrain pretrained_models_tpu/tts.npz --ckpt-dir checkpoints
+
+Use --dummy for the smoke-train path (reference BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+log = logging.getLogger("jyutvoice_tpu.train")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="JyutVoice-TPU training")
+    parser.add_argument("--dataset", default=None, help="HF dataset dir")
+    parser.add_argument("--dummy", action="store_true", help="synthetic smoke data")
+    parser.add_argument("--pretrain", default=None,
+                        help="pretrained tts weights (.npz/.pt/.ckpt)")
+    parser.add_argument("--ckpt-dir", default="checkpoints")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--save-every", type=int, default=500)
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import dataclasses
+
+    import jax
+
+    from jyutvoice_tpu.config import JyutVoiceConfig
+    from jyutvoice_tpu.dist import batch_sharding, make_mesh, replicate, shard_batch
+    from jyutvoice_tpu.models.tts import init_tts
+    from jyutvoice_tpu.train import checkpoints as ckpt
+    from jyutvoice_tpu.train.datamodule import (
+        DataConfig,
+        TextMelDataModule,
+        dummy_rows,
+    )
+    from jyutvoice_tpu.train.step import (
+        TrainState,
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = JyutVoiceConfig()
+    tr = cfg.train
+    if args.epochs:
+        tr = dataclasses.replace(tr, max_epochs=args.epochs)
+    if args.batch_size:
+        tr = dataclasses.replace(tr, batch_size=args.batch_size)
+    if args.lr:
+        tr = dataclasses.replace(tr, learning_rate=args.lr)
+
+    if args.pretrain:
+        from jyutvoice_tpu.cli.infer import _load_params
+
+        params = _load_params(args.pretrain, "tts", cfg)
+        log.info("loaded pretrained weights from %s", args.pretrain)
+    else:
+        params = init_tts(jax.random.PRNGKey(args.seed), cfg.tts)
+        log.warning("training from scratch (no --pretrain)")
+
+    dm_cfg = DataConfig(batch_size=tr.batch_size, seed=args.seed)
+    if args.dummy or not args.dataset:
+        log.warning("using dummy dataset (smoke mode)")
+        dm = TextMelDataModule(dummy_rows(64, seed=args.seed), dm_cfg)
+    else:
+        dm = TextMelDataModule(args.dataset, dm_cfg)
+
+    state, tx = init_train_state(params, cfg.tts, tr)
+    start_step = 0
+    if args.resume:
+        latest = ckpt.latest_step(args.ckpt_dir)
+        if latest is not None:
+            restored = ckpt.restore(
+                args.ckpt_dir, latest,
+                template={"params": state.params, "opt_state": state.opt_state,
+                          "step": 0},
+            )
+            state = TrainState(
+                restored["params"], restored["opt_state"],
+                jax.numpy.asarray(restored["step"]),
+            )
+            start_step = int(restored["step"])
+            log.info("resumed from step %d", start_step)
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flatten())
+    log.info("mesh: %d device(s): %s", n_dev, mesh)
+    step_fn = make_train_step(cfg.tts, tr, tx)
+
+    with mesh:
+        rep = replicate(mesh)
+        state = jax.device_put(state, rep)
+        jit_step = jax.jit(
+            step_fn,
+            in_shardings=(rep, rep, batch_sharding(mesh)),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+
+        key = jax.random.PRNGKey(args.seed)
+        global_step = start_step
+        t_start = time.time()
+        for epoch in range(tr.max_epochs):
+            for batch in dm.train_batches(epoch):
+                b = batch["x"].shape[0]
+                if b % n_dev != 0:  # pad batch to the mesh size
+                    padb = (n_dev - b % n_dev) % n_dev
+                    batch = {
+                        k: np.concatenate([v, v[:padb]], axis=0)
+                        for k, v in batch.items()
+                    }
+                batch = shard_batch(
+                    {k: jax.numpy.asarray(v) for k, v in batch.items()}, mesh
+                )
+                key, sub = jax.random.split(key)
+                state, metrics = jit_step(state, jax.device_put(sub, rep), batch)
+                global_step += 1
+                if global_step % args.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    log.info(
+                        "step %d | loss %.4f (dur %.4f prior %.4f diff %.4f) "
+                        "| grad %.3f | %.2f steps/s",
+                        global_step, m["loss"], m["dur_loss"], m["prior_loss"],
+                        m["diff_loss"], m["grad_norm"],
+                        args.log_every / max(time.time() - t_start, 1e-9),
+                    )
+                    t_start = time.time()
+                if global_step % args.save_every == 0:
+                    ckpt.save(
+                        args.ckpt_dir, global_step,
+                        {"params": state.params, "opt_state": state.opt_state,
+                         "step": global_step},
+                    )
+                if args.max_steps and global_step >= args.max_steps:
+                    break
+            else:
+                continue
+            break
+
+        ckpt.save(
+            args.ckpt_dir, global_step,
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": global_step},
+        )
+        log.info("done at step %d", global_step)
+
+
+if __name__ == "__main__":
+    main()

@@ -208,15 +208,13 @@ def init_resblock(key, channels: int, kernel_size: int, dilations: Tuple[int, ..
         ],
         "alphas1": [jnp.ones((channels,)) for _ in dilations],
         "alphas2": [jnp.ones((channels,)) for _ in dilations],
-        "dilations": list(dilations),
-        "kernel_size": kernel_size,
     }
 
 
-def apply_resblock(p, x: Array) -> Array:
-    k = p["kernel_size"]
+def apply_resblock(p, x: Array, kernel_size: int, dilations) -> Array:
+    k = kernel_size
     for c1, c2, a1, a2, d in zip(
-        p["convs1"], p["convs2"], p["alphas1"], p["alphas2"], p["dilations"]
+        p["convs1"], p["convs2"], p["alphas1"], p["alphas2"], dilations
     ):
         xt = core.snake(x, a1)
         pad = (k * d - d) // 2
@@ -231,6 +229,11 @@ def apply_resblock(p, x: Array) -> Array:
 # ---------------------------------------------------------------------------
 # Generator
 # ---------------------------------------------------------------------------
+
+
+def _source_down_strides(cfg: HiFTConfig):
+    downsample_rates = [1] + list(cfg.upsample_rates[::-1][:-1])
+    return [int(u) for u in list(np.cumprod(downsample_rates))[::-1]]
 
 
 def init_hift(key, cfg: HiFTConfig):
@@ -250,18 +253,10 @@ def init_hift(key, cfg: HiFTConfig):
         zip(downsample_cum, cfg.source_resblock_kernel_sizes, cfg.source_resblock_dilation_sizes)
     ):
         ch = base // (2 ** (i + 1))
-        if u == 1:
-            source_downs.append(
-                {"conv": core.conv1d_init(next(ki), n_fft_src, ch, 1), "stride": 1, "k": 1}
-            )
-        else:
-            source_downs.append(
-                {
-                    "conv": core.conv1d_init(next(ki), n_fft_src, ch, int(u) * 2),
-                    "stride": int(u),
-                    "k": int(u) * 2,
-                }
-            )
+        ksize = 1 if u == 1 else int(u) * 2
+        source_downs.append(
+            {"conv": core.conv1d_init(next(ki), n_fft_src, ch, ksize)}
+        )
         source_resblocks.append(init_resblock(next(ki), ch, k, tuple(d)))
 
     resblocks = []
@@ -302,16 +297,24 @@ def hift_decode(p, cfg: HiFTConfig, mel: Array, source: Array) -> Array:
             # reflection_pad (1, 0) (reference generator.py:351, 407-408)
             x = jnp.concatenate([x[:, 1:2, :], x], axis=1)
         sd = p["source_downs"][i]
-        if sd["stride"] == 1:
+        stride = _source_down_strides(cfg)[i]
+        if stride == 1:
             si = core.conv1d(sd["conv"], s_stft, padding="valid")
         else:
-            pad = sd["stride"] // 2
-            si = core.conv1d(sd["conv"], s_stft, stride=sd["stride"], padding=(pad, pad))
-        si = apply_resblock(p["source_resblocks"][i], si)
+            pad = stride // 2
+            si = core.conv1d(sd["conv"], s_stft, stride=stride, padding=(pad, pad))
+        si = apply_resblock(
+            p["source_resblocks"][i], si,
+            cfg.source_resblock_kernel_sizes[i],
+            cfg.source_resblock_dilation_sizes[i],
+        )
         x = x + si
         xs = None
         for j in range(num_kernels):
-            out = apply_resblock(p["resblocks"][i * num_kernels + j], x)
+            out = apply_resblock(
+                p["resblocks"][i * num_kernels + j], x,
+                cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j],
+            )
             xs = out if xs is None else xs + out
         x = xs / num_kernels
 

@@ -1,0 +1,150 @@
+"""Voice-cloning prompt feature extraction.
+
+Re-design of the reference's prompt path (infer.py:329-446):
+
+  ref wav 24k -> mel_spectrogram            -> prompt_feat   (T_p, 80)
+  ref wav 16k -> whisper mel -> tokenizer   -> speech tokens (25 Hz)
+  speech tokens -> FlowEncoder              -> prompt_h      (2*T_tok, 80)
+  ref wav 16k -> kaldi fbank -> campplus    -> spk_embed     (192,)
+
+The two external ONNX models (campplus, speech_tokenizer_v2) run via
+onnxruntime when available (prep-time, host CPU, exactly as in the
+reference); otherwise zero embeddings / no cloning are used so the pipeline
+degrades gracefully in ONNX-free environments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional, Tuple
+
+import numpy as np
+
+from jyutvoice_tpu.audio.fbank import kaldi_fbank
+from jyutvoice_tpu.audio.mel import MelSpec
+from jyutvoice_tpu.audio.whisper_mel import whisper_log_mel
+from jyutvoice_tpu.config import FlowEncoderConfig
+
+_log = logging.getLogger(__name__)
+
+
+def _ort_session(path: str):
+    import onnxruntime  # type: ignore
+
+    opt = onnxruntime.SessionOptions()
+    opt.graph_optimization_level = (
+        onnxruntime.GraphOptimizationLevel.ORT_ENABLE_ALL
+    )
+    opt.intra_op_num_threads = 1
+    return onnxruntime.InferenceSession(
+        path, sess_options=opt, providers=["CPUExecutionProvider"]
+    )
+
+
+class CampPlusEmbedder:
+    """192-d speaker embedding from 16 kHz audio (reference infer.py:148-163)."""
+
+    def __init__(self, onnx_path: Optional[str] = None):
+        self.session = None
+        if onnx_path:
+            try:
+                self.session = _ort_session(onnx_path)
+            except Exception as e:  # pragma: no cover
+                _log.warning("campplus onnx unavailable: %s", e)
+
+    def __call__(self, audio16k: np.ndarray) -> np.ndarray:
+        if self.session is None:
+            return np.zeros(192, np.float32)
+        feat = kaldi_fbank(audio16k, num_mel_bins=80)
+        feat = feat - feat.mean(axis=0, keepdims=True)
+        out = self.session.run(
+            None, {self.session.get_inputs()[0].name: feat[None].astype(np.float32)}
+        )[0]
+        return out.flatten().astype(np.float32)
+
+
+class SpeechTokenizer:
+    """whisper-mel -> 6561-vocab speech tokens at 25 Hz (infer.py:98-145)."""
+
+    def __init__(self, onnx_path: Optional[str] = None):
+        self.session = None
+        if onnx_path:
+            try:
+                self.session = _ort_session(onnx_path)
+            except Exception as e:  # pragma: no cover
+                _log.warning("speech tokenizer onnx unavailable: %s", e)
+
+    def __call__(self, audio16k: np.ndarray) -> Optional[np.ndarray]:
+        if self.session is None:
+            return None
+        mel = whisper_log_mel(audio16k)  # (128, T)
+        inputs = self.session.get_inputs()
+        feed = {
+            inputs[0].name: mel[None].astype(np.float32),
+            inputs[1].name: np.array([mel.shape[1]], np.int32),
+        }
+        tokens = self.session.run(None, feed)[0]
+        return tokens.flatten().astype(np.int32)
+
+
+def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    if sr_in == sr_out:
+        return audio.astype(np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(sr_in, sr_out)
+    return resample_poly(audio, sr_out // g, sr_in // g).astype(np.float32)
+
+
+@dataclasses.dataclass
+class PromptFeatures:
+    prompt_feat: np.ndarray  # (T_p, 80) 24 kHz mel
+    prompt_h: Optional[np.ndarray]  # (T_p, 80) flow-encoder hidden states
+    spk_embed: np.ndarray  # (192,)
+    speech_tokens: Optional[np.ndarray]
+
+
+class PromptExtractor:
+    def __init__(
+        self,
+        flow_encoder_params=None,
+        flow_encoder_cfg: Optional[FlowEncoderConfig] = None,
+        campplus_onnx: Optional[str] = None,
+        tokenizer_onnx: Optional[str] = None,
+        token_mel_ratio: int = 2,
+    ):
+        self.mel = MelSpec()
+        self.embedder = CampPlusEmbedder(campplus_onnx)
+        self.tokenizer = SpeechTokenizer(tokenizer_onnx)
+        self.flow_encoder_params = flow_encoder_params
+        self.flow_encoder_cfg = flow_encoder_cfg or FlowEncoderConfig()
+        self.token_mel_ratio = token_mel_ratio
+
+    def __call__(self, audio: np.ndarray, sr: int) -> PromptFeatures:
+        import jax.numpy as jnp
+
+        wav24 = resample(audio, sr, 24000)
+        wav16 = resample(audio, sr, 16000)
+        prompt_feat = np.asarray(self.mel(jnp.asarray(wav24[None])))[0]  # (T,80)
+        spk = self.embedder(wav16)
+        tokens = self.tokenizer(wav16)
+        prompt_h = None
+        if tokens is not None and self.flow_encoder_params is not None:
+            from jyutvoice_tpu.models.flow_encoder import apply_flow_encoder
+
+            h, h_len = apply_flow_encoder(
+                self.flow_encoder_params,
+                self.flow_encoder_cfg,
+                jnp.asarray(tokens[None]),
+                jnp.asarray([len(tokens)], jnp.int32),
+            )
+            prompt_h = np.asarray(h)[0, : int(h_len[0])]
+            # align prompt mel and hidden lengths (token_mel_ratio trim,
+            # reference data prep semantics)
+            t = min(prompt_feat.shape[0], prompt_h.shape[0])
+            prompt_feat = prompt_feat[:t]
+            prompt_h = prompt_h[:t]
+        return PromptFeatures(prompt_feat, prompt_h, spk, tokens)

@@ -1,0 +1,206 @@
+"""Data pipeline: dataset rows -> padded training batches.
+
+Host-side re-design of the reference TextMelDataModule
+(jyutvoice/data/text_mel_datamodule.py:30-460):
+
+  * rows come from an HF `datasets` directory (load_from_disk) or an
+    in-memory list of dicts — each row has `text`/`lang` (or precomputed
+    `phone_ids`/`tones`/`word_pos`/`syllable_pos`/`lang_ids` int lists),
+    audio (or a precomputed `mel`), optional `spk_emb` (192) and
+    `decoder_h` (T, 80); missing spk_emb/decoder_h fall back to zeros like
+    the reference's test path (text_mel_datamodule.py:226-250),
+  * mel frames are trimmed to a multiple of token_mel_ratio
+    (text_mel_datamodule.py:252-268),
+  * the collator zero-pads text features to the batch max and mels to a
+    factor-4 length (`fix_len_compatibility`, utils/model.py:14-20), then
+    rounds BOTH up to jit-friendly buckets so training compiles once per
+    bucket pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from jyutvoice_tpu.pipeline import buckets as bkt
+from jyutvoice_tpu.text import intersperse, text_to_sequence
+
+_TEXT_KEYS = ("x", "tone", "word_pos", "syllable_pos", "lang")
+
+
+def fix_len_compatibility(length: int, num_downsamplings_in_unet: int = 2) -> int:
+    factor = 2**num_downsamplings_in_unet
+    return int(np.ceil(length / factor) * factor)
+
+
+@dataclasses.dataclass
+class DataConfig:
+    batch_size: int = 8
+    add_blank: bool = True
+    n_feats: int = 80
+    token_mel_ratio: int = 2
+    spk_embed_dim: int = 192
+    seed: int = 42
+    valid_ratio: float = 0.001
+    bucket_text: bool = True  # round pads up to buckets for jit reuse
+
+
+def row_to_example(row: Dict, cfg: DataConfig, mel_fn=None) -> Optional[Dict]:
+    """One dataset row -> numpy example dict (or None if invalid)."""
+    if "phone_ids" in row:
+        ids = list(row["phone_ids"])
+        tones = list(row.get("tones", [0] * len(ids)))
+        word_pos = list(row.get("word_pos", [0] * len(ids)))
+        syllable_pos = list(row.get("syllable_pos", [0] * len(ids)))
+        lang_ids = list(row.get("lang_ids", [0] * len(ids)))
+    else:
+        try:
+            ids, tones, word_pos, syllable_pos, lang_ids = text_to_sequence(
+                row["text"], lang=row.get("lang", "yue"), phone=row.get("phone")
+            )
+        except Exception:
+            return None
+
+    if cfg.add_blank:
+        ids, tones, word_pos, syllable_pos, lang_ids = (
+            intersperse(s, 0) for s in (ids, tones, word_pos, syllable_pos, lang_ids)
+        )
+
+    if "mel" in row:
+        mel = np.asarray(row["mel"], np.float32)  # (T, 80)
+    elif "audio" in row and mel_fn is not None:
+        wav = np.asarray(row["audio"], np.float32)[None, :]
+        mel = np.asarray(mel_fn(wav))[0]
+    else:
+        return None
+
+    # trim to a token_mel_ratio multiple (text_mel_datamodule.py:252-268)
+    t = (mel.shape[0] // cfg.token_mel_ratio) * cfg.token_mel_ratio
+    if t == 0:
+        return None
+    mel = mel[:t]
+
+    spk = np.asarray(
+        row.get("spk_emb", np.zeros(cfg.spk_embed_dim)), np.float32
+    )
+    dh = row.get("decoder_h")
+    decoder_h = (
+        np.asarray(dh, np.float32)[:t]
+        if dh is not None
+        else np.zeros((t, cfg.n_feats), np.float32)
+    )
+    if decoder_h.shape[0] < t:
+        decoder_h = np.pad(decoder_h, ((0, t - decoder_h.shape[0]), (0, 0)))
+
+    return {
+        "x": np.asarray(ids, np.int32),
+        "tone": np.asarray(tones, np.int32),
+        "word_pos": np.asarray(word_pos, np.int32),
+        "syllable_pos": np.asarray(syllable_pos, np.int32),
+        "lang": np.asarray(lang_ids, np.int32),
+        "mel": mel,
+        "spk_emb": spk,
+        "decoder_h": decoder_h,
+    }
+
+
+def collate(examples: Sequence[Dict], cfg: DataConfig) -> Dict[str, np.ndarray]:
+    """Zero-pad a list of examples into one batch
+    (reference TextMelBatchCollate, text_mel_datamodule.py:372-460)."""
+    b = len(examples)
+    x_max = max(e["x"].shape[0] for e in examples)
+    y_max = fix_len_compatibility(max(e["mel"].shape[0] for e in examples))
+    if cfg.bucket_text:
+        x_max = bkt.pick_bucket(x_max, bkt.TEXT_BUCKETS)
+        y_max = bkt.pick_bucket(y_max, bkt.MEL_BUCKETS)
+
+    batch = {
+        k: np.zeros((b, x_max), np.int32) for k in _TEXT_KEYS
+    }
+    batch["y"] = np.zeros((b, y_max, cfg.n_feats), np.float32)
+    batch["decoder_h"] = np.zeros((b, y_max, cfg.n_feats), np.float32)
+    batch["spk_embed"] = np.zeros((b, cfg.spk_embed_dim), np.float32)
+    batch["x_lengths"] = np.zeros((b,), np.int32)
+    batch["y_lengths"] = np.zeros((b,), np.int32)
+
+    for i, e in enumerate(examples):
+        n = e["x"].shape[0]
+        t = e["mel"].shape[0]
+        for k in _TEXT_KEYS:
+            src = {"x": "x", "tone": "tone", "word_pos": "word_pos",
+                   "syllable_pos": "syllable_pos", "lang": "lang"}[k]
+            batch[k][i, :n] = e[src]
+        batch["y"][i, :t] = e["mel"]
+        batch["decoder_h"][i, :t] = e["decoder_h"]
+        batch["spk_embed"][i] = e["spk_emb"]
+        batch["x_lengths"][i] = n
+        batch["y_lengths"][i] = t
+    return batch
+
+
+class TextMelDataModule:
+    """Minimal loader: HF dataset dir / list of rows -> batch iterator."""
+
+    def __init__(self, source, cfg: DataConfig, mel_fn=None):
+        self.cfg = cfg
+        self.mel_fn = mel_fn
+        if isinstance(source, str):
+            import datasets
+
+            ds = datasets.load_from_disk(source)
+            if hasattr(ds, "keys") and "train" in ds:
+                ds = ds["train"]
+            self.rows = ds
+        else:
+            self.rows = list(source)
+        n = len(self.rows)
+        rng = np.random.default_rng(cfg.seed)
+        perm = rng.permutation(n)
+        n_valid = max(1, int(n * cfg.valid_ratio)) if n > 1 else 0
+        self.valid_idx = perm[:n_valid]
+        self.train_idx = perm[n_valid:]
+
+    def _iter(self, indices: np.ndarray, shuffle: bool, seed: int) -> Iterator[Dict]:
+        order = indices.copy()
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        buf: List[Dict] = []
+        for i in order:
+            ex = row_to_example(self.rows[int(i)], self.cfg, self.mel_fn)
+            if ex is None:
+                continue
+            buf.append(ex)
+            if len(buf) == self.cfg.batch_size:
+                yield collate(buf, self.cfg)
+                buf = []
+        if buf:
+            yield collate(buf, self.cfg)
+
+    def train_batches(self, epoch: int = 0) -> Iterator[Dict]:
+        return self._iter(self.train_idx, True, self.cfg.seed + epoch)
+
+    def valid_batches(self) -> Iterator[Dict]:
+        return self._iter(self.valid_idx, False, 0)
+
+
+def dummy_rows(n: int = 16, seed: int = 0) -> List[Dict]:
+    """Synthetic rows for smoke training (the reference's dummy-dataset path,
+    BASELINE config 5)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        n_ph = int(rng.integers(6, 20))
+        t = int(rng.integers(24, 80)) * 2
+        rows.append(
+            {
+                "phone_ids": rng.integers(1, 97, n_ph).tolist(),
+                "tones": rng.integers(0, 7, n_ph).tolist(),
+                "word_pos": rng.integers(0, 4, n_ph).tolist(),
+                "syllable_pos": rng.integers(0, 4, n_ph).tolist(),
+                "lang_ids": rng.integers(0, 3, n_ph).tolist(),
+                "mel": rng.standard_normal((t, 80)).astype(np.float32),
+            }
+        )
+    return rows

@@ -349,8 +349,6 @@ def _resblock(sd: SD, name: str, kernel_size: int, dilations) -> dict:
         "alphas2": [
             jnp.asarray(sd[f"{name}.activations2.{i}.alpha"]) for i in range(n)
         ],
-        "dilations": list(dilations),
-        "kernel_size": kernel_size,
     }
 
 
@@ -378,13 +376,7 @@ def convert_hift(sd: SD, cfg: HiFTConfig, prefix: str = "") -> dict:
             cfg.source_resblock_dilation_sizes,
         )
     ):
-        source_downs.append(
-            {
-                "conv": _conv(sd, f"{pre}source_downs.{i}"),
-                "stride": int(u) if u != 1 else 1,
-                "k": int(u) * 2 if u != 1 else 1,
-            }
-        )
+        source_downs.append({"conv": _conv(sd, f"{pre}source_downs.{i}")})
         source_resblocks.append(_resblock(sd, f"{pre}source_resblocks.{i}", k, d))
     resblocks = []
     idx = 0

@@ -1,0 +1,127 @@
+"""Pipeline smoke tests: end-to-end text -> wav with random weights, bucket
+cache behavior, prompt feature extraction fallbacks."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from jyutvoice_tpu.config import (
+    CFMConfig,
+    EstimatorConfig,
+    JyutVoiceConfig,
+    TextEncoderConfig,
+    TTSConfig,
+)
+from jyutvoice_tpu.models.hift import init_hift
+from jyutvoice_tpu.models.tts import init_tts
+from jyutvoice_tpu.pipeline.buckets import MEL_BUCKETS, TEXT_BUCKETS, pick_bucket
+from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+# small model so CPU jit stays quick
+TINY = JyutVoiceConfig(
+    tts=TTSConfig(
+        encoder=TextEncoderConfig(n_layers=2, filter_channels=128),
+        cfm=CFMConfig(estimator=EstimatorConfig(n_blocks=1, num_mid_blocks=2)),
+    )
+)
+
+
+def test_pick_bucket():
+    assert pick_bucket(1, TEXT_BUCKETS) == 32
+    assert pick_bucket(33, TEXT_BUCKETS) == 64
+    assert pick_bucket(15000, MEL_BUCKETS) == 15000
+    with pytest.raises(ValueError):
+        pick_bucket(15001, MEL_BUCKETS)
+
+
+@pytest.fixture(scope="module")
+def synth():
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    return Synthesizer(TINY, params, params_hift)
+
+
+def test_synthesize_cantonese_with_phone(synth):
+    res = synth.synthesize(
+        "佢 係邊 個", lang="yue", phone="keoi5 hai6 bin1 go3", n_timesteps=2
+    )
+    assert res.wav.ndim == 1
+    assert res.wav.shape[0] == res.mel_frames * 480
+    assert res.mel.shape == (res.mel_frames, 80)
+    assert np.all(np.abs(res.wav) <= 0.99 + 1e-6)
+    assert res.timings["audio_seconds"] > 0
+
+
+def test_synthesize_with_prompt_cloning(synth):
+    rng = np.random.default_rng(0)
+    res = synth.synthesize(
+        "好",
+        lang="yue",
+        phone="hou2",
+        spk_embed=rng.standard_normal(192).astype(np.float32),
+        prompt_feat=rng.standard_normal((40, 80)).astype(np.float32),
+        prompt_h=rng.standard_normal((40, 80)).astype(np.float32),
+        n_timesteps=2,
+    )
+    assert res.wav.shape[0] == res.mel_frames * 480
+
+
+def test_bucket_cache_reuse(synth):
+    n_before = len(synth._mel_fns)
+    synth.synthesize("佢", lang="yue", phone="keoi5", n_timesteps=2)
+    n_mid = len(synth._mel_fns)
+    synth.synthesize("好", lang="yue", phone="hou2", n_timesteps=2)
+    assert len(synth._mel_fns) == n_mid  # same buckets -> no new compile
+
+
+def test_prompt_extractor_fallbacks():
+    from jyutvoice_tpu.pipeline.prompt import PromptExtractor, resample
+
+    rng = np.random.default_rng(1)
+    audio = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)  # 1 s @ 16 kHz
+    ex = PromptExtractor()  # no onnx models, no flow encoder
+    feats = ex(audio, 16000)
+    assert feats.prompt_feat.shape[1] == 80
+    assert feats.prompt_feat.shape[0] == 50  # 1 s of audio -> 50 mel frames
+    assert feats.spk_embed.shape == (192,)
+    assert feats.prompt_h is None and feats.speech_tokens is None
+    # resample round trip shape
+    y = resample(audio, 16000, 24000)
+    assert abs(len(y) - 24000) <= 2
+
+
+def test_kaldi_fbank_shape_and_scale():
+    from jyutvoice_tpu.audio.fbank import kaldi_fbank
+
+    rng = np.random.default_rng(2)
+    wav = rng.uniform(-1, 1, 16000).astype(np.float32)
+    fb = kaldi_fbank(wav)
+    assert fb.shape == ((16000 - 400) // 160 + 1, 80)
+    assert np.isfinite(fb).all()
+    # louder signal -> larger log energies
+    fb2 = kaldi_fbank(wav * 4)
+    assert fb2.mean() > fb.mean()
+
+
+def test_whisper_mel_shape():
+    from jyutvoice_tpu.audio.whisper_mel import whisper_log_mel
+
+    rng = np.random.default_rng(3)
+    wav = rng.uniform(-1, 1, 16000).astype(np.float32)
+    mel = whisper_log_mel(wav)
+    assert mel.shape == (128, 100)  # 100 frames/s, last frame dropped
+    assert mel.max() <= 1.5 and np.isfinite(mel).all()
+
+
+def test_provision_npz_roundtrip(tmp_path):
+    from jyutvoice_tpu.weights.provision import load_pytree_npz, save_pytree_npz
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    path = str(tmp_path / "tts.npz")
+    save_pytree_npz(path, params)
+    loaded = load_pytree_npz(path)
+    la, lb = jax.tree.leaves(params), jax.tree.leaves(loaded)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

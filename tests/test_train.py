@@ -1,0 +1,162 @@
+"""Training loop tests: frozen-decoder fine-tune step, datamodule, orbax
+checkpoints, data-parallel step over the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from jyutvoice_tpu.config import (
+    CFMConfig,
+    EstimatorConfig,
+    JyutVoiceConfig,
+    TextEncoderConfig,
+    TrainConfig,
+    TTSConfig,
+)
+from jyutvoice_tpu.models.tts import init_tts
+from jyutvoice_tpu.train.datamodule import (
+    DataConfig,
+    TextMelDataModule,
+    collate,
+    dummy_rows,
+    fix_len_compatibility,
+    row_to_example,
+)
+from jyutvoice_tpu.train.step import (
+    init_train_state,
+    make_train_step,
+    trainable_mask,
+)
+
+# tiny model so CPU tests stay fast
+TINY = TTSConfig(
+    encoder=TextEncoderConfig(n_layers=2, filter_channels=128),
+    cfm=CFMConfig(estimator=EstimatorConfig(n_blocks=1, num_mid_blocks=1)),
+)
+TRAIN = TrainConfig(warmup_steps=4)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_tts(jax.random.PRNGKey(0), TINY)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    dm_cfg = DataConfig(batch_size=4, bucket_text=False)
+    rows = dummy_rows(4)
+    examples = [row_to_example(r, dm_cfg) for r in rows]
+    b = collate(examples, dm_cfg)
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def test_fix_len_compatibility():
+    assert fix_len_compatibility(37) == 40
+    assert fix_len_compatibility(40) == 40
+
+
+def test_datamodule_batches():
+    dm = TextMelDataModule(dummy_rows(10), DataConfig(batch_size=3, valid_ratio=0.1))
+    batches = list(dm.train_batches())
+    assert sum(b["x"].shape[0] for b in batches) == 9  # 1 row held out
+    vb = list(dm.valid_batches())
+    assert len(vb) == 1 and vb[0]["x"].shape[0] == 1
+    b0 = batches[0]
+    assert b0["y"].shape[1] % 4 == 0
+    assert b0["y"].shape[2] == 80
+
+
+def test_frozen_mask(params):
+    mask = trainable_mask(params, TINY)
+    flat = jax.tree.leaves(mask["decoder"])
+    assert not any(flat)  # decoder frozen
+    assert all(jax.tree.leaves(mask["encoder"]))
+    assert all(jax.tree.leaves(mask["dp"]))
+    assert not any(jax.tree.leaves(mask["spk_embed_affine_layer"]))
+
+
+def test_train_step_updates_only_trainable(params, batch):
+    state, tx = init_train_state(params, TINY, TRAIN)
+    step = jax.jit(make_train_step(TINY, TRAIN, tx))
+    new_state, metrics = step(state, jax.random.PRNGKey(1), batch)
+
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    # decoder params unchanged (frozen)
+    dec_before = jax.tree.leaves(params["decoder"])
+    dec_after = jax.tree.leaves(new_state.params["decoder"])
+    for a, b_ in zip(dec_before, dec_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # encoder params changed
+    enc_before = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(params["encoder"])]
+    )
+    enc_after = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(new_state.params["encoder"])]
+    )
+    assert not np.allclose(enc_before, enc_after)
+
+
+def test_warmup_schedule(params, batch):
+    state, tx = init_train_state(params, TINY, TRAIN)
+    step = jax.jit(make_train_step(TINY, TRAIN, tx))
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, jax.random.PRNGKey(i), batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3
+
+
+def test_data_parallel_step_8_devices(params, batch):
+    from jyutvoice_tpu.dist import batch_sharding, make_mesh, replicate, shard_batch
+
+    mesh = make_mesh(8)
+    state, tx = init_train_state(params, TINY, TRAIN)
+    step_fn = make_train_step(TINY, TRAIN, tx)
+
+    # replicate batch of 4 -> 8 rows so it shards evenly
+    batch8 = {k: jnp.concatenate([v, v], axis=0) for k, v in batch.items()}
+    with mesh:
+        rep = replicate(mesh)
+        state = jax.device_put(state, rep)
+        batch8 = shard_batch(batch8, mesh)
+        key = jax.device_put(jax.random.PRNGKey(0), rep)
+        jstep = jax.jit(
+            step_fn,
+            in_shardings=(rep, rep, batch_sharding(mesh)),
+            out_shardings=(rep, rep),
+        )
+        new_state, metrics = jstep(state, key, batch8)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # single-device result with the same batch must match the sharded one
+    sstep = jax.jit(step_fn)
+    dev0 = jax.devices()[0]
+    batch8_local = jax.tree.map(lambda x: jax.device_put(x, dev0), batch8)
+    sstate, smetrics = sstep(
+        jax.device_put(state, dev0), jax.random.PRNGKey(0), batch8_local
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(smetrics["loss"]), rtol=1e-5
+    )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, params, batch):
+    from jyutvoice_tpu.train import checkpoints as ckpt
+
+    state, tx = init_train_state(params, TINY, TRAIN)
+    step = jax.jit(make_train_step(TINY, TRAIN, tx))
+    state, _ = step(state, jax.random.PRNGKey(1), batch)
+
+    d = str(tmp_path / "ckpts")
+    ckpt.save(d, 1, {"params": state.params, "step": 1})
+    assert ckpt.latest_step(d) == 1
+    restored = ckpt.restore(d, template={"params": state.params, "step": 0})
+    leaves_a = jax.tree.leaves(state.params)
+    leaves_b = jax.tree.leaves(restored["params"])
+    for a, b_ in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
