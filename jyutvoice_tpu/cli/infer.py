@@ -125,9 +125,15 @@ def main(argv=None):
             )
             prompt_feat = None
 
+    text = args.text
+    if args.lang in ("yue", "zh") and args.phone is None:
+        from jyutvoice_tpu.text.word_seg import word_seg
+
+        text = word_seg(text)
+
     synth = Synthesizer(cfg, params_tts, params_hift)
     result = synth.synthesize(
-        args.text,
+        text,
         lang=args.lang,
         phone=args.phone,
         spk_embed=spk_embed,

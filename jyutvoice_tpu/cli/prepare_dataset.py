@@ -1,0 +1,110 @@
+"""Dataset preparation — the analog of the reference's
+scripts/prepare_dataset{,2}.py + merge_dataset_shards.py.
+
+Per row: validates the charset, runs g2p to precomputed id lists, extracts
+the 24 kHz mel, the campplus speaker embedding and the flow-encoder hidden
+states (`decoder_h`, the prior-loss target) from speech tokens. Rank/world
+sharding mirrors prepare_dataset2.py:429-458; `--merge` concatenates shard
+outputs (merge_dataset_shards.py:14-65).
+
+Failed rows are marked `audio_processed=False` instead of crashing
+(reference prepare_dataset.py:305-371).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+log = logging.getLogger("jyutvoice_tpu.prepare")
+
+
+def process_row(row, extractor, lang_default="yue"):
+    from jyutvoice_tpu.text import intersperse, text_to_sequence
+
+    out = dict(row)
+    try:
+        ids, tones, word_pos, syllable_pos, lang_ids = text_to_sequence(
+            row["text"], lang=row.get("lang", lang_default), phone=row.get("phone")
+        )
+        out.update(
+            phone_ids=ids, tones=tones, word_pos=word_pos,
+            syllable_pos=syllable_pos, lang_ids=lang_ids,
+        )
+        audio = np.asarray(row["audio"]["array"], np.float32)
+        sr = int(row["audio"]["sampling_rate"])
+        feats = extractor(audio, sr)
+        out["mel"] = feats.prompt_feat.tolist()
+        out["spk_emb"] = feats.spk_embed.tolist()
+        if feats.prompt_h is not None:
+            out["decoder_h"] = feats.prompt_h.tolist()
+        if feats.speech_tokens is not None:
+            out["speech_tokens"] = feats.speech_tokens.tolist()
+        out["audio_processed"] = True
+    except Exception as e:  # noqa: BLE001 — mirror reference row tolerance
+        log.warning("row failed: %s", e)
+        out["audio_processed"] = False
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="prepare a JyutVoice dataset")
+    parser.add_argument("--input", help="HF dataset dir / hub id")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--lang", default="yue")
+    parser.add_argument("--rank", type=int, default=0)
+    parser.add_argument("--worlds", type=int, default=1)
+    parser.add_argument("--flow-encoder", default=None)
+    parser.add_argument("--campplus-onnx", default=None)
+    parser.add_argument("--tokenizer-onnx", default=None)
+    parser.add_argument("--merge", nargs="*", default=None,
+                        help="shard dirs to concatenate instead of preparing")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import datasets
+
+    if args.merge:
+        shards = [datasets.load_from_disk(p) for p in args.merge]
+        merged = datasets.concatenate_datasets(shards)
+        merged.save_to_disk(args.output)
+        log.info("merged %d shards -> %s (%d rows)", len(shards), args.output,
+                 len(merged))
+        return
+
+    from jyutvoice_tpu.config import JyutVoiceConfig
+    from jyutvoice_tpu.pipeline.prompt import PromptExtractor
+
+    cfg = JyutVoiceConfig()
+    fe_params = None
+    if args.flow_encoder:
+        from jyutvoice_tpu.cli.infer import _load_params
+
+        fe_params = _load_params(args.flow_encoder, "flow_encoder", cfg)
+    extractor = PromptExtractor(
+        flow_encoder_params=fe_params,
+        flow_encoder_cfg=cfg.flow_encoder,
+        campplus_onnx=args.campplus_onnx,
+        tokenizer_onnx=args.tokenizer_onnx,
+    )
+
+    ds = (
+        datasets.load_from_disk(args.input)
+        if os.path.isdir(args.input)
+        else datasets.load_dataset(args.input, split="train")
+    )
+    if args.worlds > 1:
+        ds = ds.shard(num_shards=args.worlds, index=args.rank)
+        log.info("shard %d/%d: %d rows", args.rank, args.worlds, len(ds))
+
+    ds = ds.map(lambda row: process_row(row, extractor, args.lang))
+    ds = ds.filter(lambda row: row["audio_processed"])
+    ds.save_to_disk(args.output)
+    log.info("wrote %s (%d rows)", args.output, len(ds))
+
+
+if __name__ == "__main__":
+    main()
