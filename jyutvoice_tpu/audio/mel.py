@@ -103,9 +103,21 @@ def _windowed_dft(n_fft: int, win_length: int):
 
 
 def frame_signal(y: Array, n_fft: int, hop: int) -> Array:
-    """(B, L) -> (B, T, n_fft) frames with stride `hop` (no padding)."""
+    """(B, L) -> (B, T, n_fft) frames with stride `hop` (no padding).
+
+    When n_fft is a multiple of hop the framing is a reshape + R shifted
+    slices (R = n_fft/hop) — no gather, which TPUs execute poorly. Falls
+    back to an index gather otherwise.
+    """
     b, length = y.shape
     n_frames = 1 + (length - n_fft) // hop
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        need = hop * (n_frames - 1 + r)
+        ph = y[:, :need].reshape(b, n_frames - 1 + r, hop)
+        return jnp.concatenate(
+            [ph[:, k : k + n_frames, :] for k in range(r)], axis=-1
+        )
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
     return y[:, idx]
 

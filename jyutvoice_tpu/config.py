@@ -85,6 +85,9 @@ class EstimatorConfig:
     act_fn: str = "gelu"
     static_chunk_size: int = 50  # mel frames per streaming chunk (25 tokens * 2)
     num_decoding_left_chunks: int = -1
+    # "pallas" uses the fused flash-attention kernel (nn/pallas/attention.py)
+    # when T is block-aligned; "xla" materializes the bias (reference-style)
+    attention_backend: str = "pallas"
 
     @property
     def time_embed_dim(self) -> int:

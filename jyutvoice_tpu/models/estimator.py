@@ -116,12 +116,37 @@ def init_transformer_block(key, dim: int, n_heads: int, head_dim: int, ff_mult: 
     }
 
 
-def apply_transformer_block(p, x: Array, attn_bias: Array, n_heads: int) -> Array:
+def apply_transformer_block(p, x: Array, attn_ctx: dict, n_heads: int) -> Array:
     h = core.layer_norm(p["norm1"], x)
-    x = x + attention.plain_mha(p["attn"], h, attn_bias, n_heads)
+    x = x + _attend(p["attn"], h, attn_ctx, n_heads)
     h = core.layer_norm(p["norm3"], x)
     h = core.gelu_torch(core.linear(p["ff_in"], h))
     return x + core.linear(p["ff_out"], h)
+
+
+def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
+    """Dispatch attention backend: fused Pallas flash kernel (no (T,T) bias
+    materialization) or the XLA SDPA path."""
+    if ctx["backend"] == "pallas":
+        from jyutvoice_tpu.nn.pallas.attention import flash_attention
+
+        b, t, c = x.shape
+        d = c // n_heads
+        q = attention.split_heads(core.linear(p["q"], x), n_heads)
+        k = attention.split_heads(core.linear(p["k"], x), n_heads)
+        v = attention.split_heads(core.linear(p["v"], x), n_heads)
+        lens = jnp.repeat(ctx["lengths"], n_heads)
+        out = flash_attention(
+            q.reshape(b * n_heads, t, d),
+            k.reshape(b * n_heads, t, d),
+            v.reshape(b * n_heads, t, d),
+            lens,
+            scale=1.0 / math.sqrt(d),
+            chunk_size=ctx["chunk_size"],
+            num_left_chunks=ctx["num_left_chunks"],
+        ).reshape(b, n_heads, t, d)
+        return core.linear(p["o"], attention.merge_heads(out))
+    return attention.plain_mha(p, x, ctx["bias"], n_heads)
 
 
 # ---------------------------------------------------------------------------
@@ -159,10 +184,10 @@ def init_estimator(key, cfg: EstimatorConfig):
     return params
 
 
-def _stage(p, x: Array, mask: Array, t: Array, attn_bias: Array, n_heads: int) -> Array:
+def _stage(p, x: Array, mask: Array, t: Array, attn_ctx: dict, n_heads: int) -> Array:
     x = apply_causal_resnet(p["resnet"], x, mask, t)
     for blk in p["blocks"]:
-        x = apply_transformer_block(blk, x, attn_bias, n_heads)
+        x = apply_transformer_block(blk, x, attn_ctx, n_heads)
     return x
 
 
@@ -189,19 +214,35 @@ def apply_estimator(
     spks_t = jnp.broadcast_to(spks[:, None, :], (b, seq, spks.shape[-1])).astype(x.dtype)
     h = jnp.concatenate([x, mu, spks_t, cond], axis=-1)  # (B, T, 320)
 
-    pad = mask[:, :, 0].astype(bool)
-    attn_mask = core.chunk_attn_mask(
-        pad, cfg.static_chunk_size if streaming else 0, cfg.num_decoding_left_chunks
+    chunk = cfg.static_chunk_size if streaming else 0
+    use_pallas = (
+        cfg.attention_backend == "pallas"
+        and seq % 128 == 0
+        and jax.default_backend() == "tpu"
     )
-    attn_bias = core.mask_to_bias(attn_mask)[:, None, :, :]  # (B,1,T,T)
+    if use_pallas:
+        lengths = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)
+        attn_ctx = {
+            "backend": "pallas",
+            "lengths": lengths,
+            "chunk_size": chunk,
+            "num_left_chunks": cfg.num_decoding_left_chunks,
+        }
+    else:
+        pad = mask[:, :, 0].astype(bool)
+        attn_mask = core.chunk_attn_mask(pad, chunk, cfg.num_decoding_left_chunks)
+        attn_ctx = {
+            "backend": "xla",
+            "bias": core.mask_to_bias(attn_mask)[:, None, :, :],
+        }
 
-    h = _stage(p["down"], h, mask, t_emb, attn_bias, cfg.num_heads)
+    h = _stage(p["down"], h, mask, t_emb, attn_ctx, cfg.num_heads)
     skip = h
     h = core.conv1d(p["down_conv"], h * mask, padding="causal")
     for mid in p["mid"]:
-        h = _stage(mid, h, mask, t_emb, attn_bias, cfg.num_heads)
+        h = _stage(mid, h, mask, t_emb, attn_ctx, cfg.num_heads)
     h = jnp.concatenate([h, skip], axis=-1)
-    h = _stage(p["up"], h, mask, t_emb, attn_bias, cfg.num_heads)
+    h = _stage(p["up"], h, mask, t_emb, attn_ctx, cfg.num_heads)
     h = core.conv1d(p["up_conv"], h * mask, padding="causal")
     h = apply_causal_block(p["final_block"], h, mask)
     out = core.conv1d(p["final_proj"], h * mask, padding="valid")

@@ -131,12 +131,11 @@ def _small_idft_matrices(n_fft: int):
 
 def small_stft(x: Array, n_fft: int, hop: int) -> Tuple[Array, Array]:
     """torch.stft(center=True) semantics: (B, L) -> (B, T, n_bins) re/im."""
+    from jyutvoice_tpu.audio.mel import frame_signal
+
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    b, length = x.shape
-    n_frames = 1 + (length - n_fft) // hop
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    frames = x[:, idx]
+    frames = frame_signal(x, n_fft, hop)
     cos_m, sin_m = _small_dft_matrices(n_fft)
     re = jnp.dot(frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
     im = jnp.dot(frames, jnp.asarray(sin_m), preferred_element_type=jnp.float32)

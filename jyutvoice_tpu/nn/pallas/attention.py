@@ -43,10 +43,10 @@ def _flash_kernel(
     b = pl.program_id(0)
     qi = pl.program_id(1)
     q_start = qi * block_q
-    q = q_ref[0].astype(jnp.float32) * scale
+    q16 = (q_ref[0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
     valid_len = len_ref[b]
 
-    d = q.shape[-1]
+    d = q16.shape[-1]
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc0 = jnp.zeros((block_q, d), jnp.float32)
@@ -59,18 +59,32 @@ def _flash_kernel(
             start = jnp.maximum((chunk_idx - num_left_chunks) * chunk_size, 0)
         else:
             start = jnp.zeros_like(ending)
+        # block-sparsity bounds: only key blocks this query block can see
+        # (q_start is traced via program_id -> use jnp ops, fori_loop takes
+        # traced bounds)
+        blk_end = ((q_start + block_q - 1) // chunk_size + 1) * chunk_size
+        if num_left_chunks >= 0:
+            blk_start = jnp.maximum(
+                (q_start // chunk_size - num_left_chunks) * chunk_size, 0
+            )
+        else:
+            blk_start = 0
+        kb_lo = blk_start // block_k
+        kb_hi_chunk = pl.cdiv(jnp.minimum(blk_end, t_total), block_k)
     else:
         ending = jnp.full((block_q, 1), t_total, jnp.int32)
         start = jnp.zeros((block_q, 1), jnp.int32)
-
-    num_kb = t_total // block_k
+        kb_lo = 0
+        kb_hi_chunk = t_total // block_k
+    # never read key blocks entirely past the valid length
+    kb_hi = jnp.minimum(kb_hi_chunk, pl.cdiv(valid_len, block_k))
 
     def body(kb, carry):
         m, l, acc = carry
         k_start = kb * block_k
-        k_blk = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.bfloat16)
+        v_blk = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.bfloat16)
+        s = jnp.dot(q16, k_blk.T, preferred_element_type=jnp.float32)
 
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         keep = (k_pos < valid_len) & (k_pos < ending) & (k_pos >= start)
@@ -81,11 +95,11 @@ def _flash_kernel(
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jnp.dot(
-            p, v_blk, preferred_element_type=jnp.float32
+            p.astype(jnp.bfloat16), v_blk, preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(kb_lo, kb_hi, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 

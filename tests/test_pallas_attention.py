@@ -44,8 +44,10 @@ def test_flash_attention_matches_sdpa(t, lengths, chunk, left):
         q, k, v, lens, scale=scale, chunk_size=chunk, num_left_chunks=left,
         interpret=True,
     )
-    # only compare valid query rows (padded-query rows are masked downstream)
+    # only compare valid query rows (padded-query rows are masked downstream);
+    # the kernel feeds the MXU bf16 inputs with f32 accumulation (the TPU
+    # default matmul precision), so tolerance is bf16-level
     for i, L in enumerate(lengths):
         np.testing.assert_allclose(
-            np.asarray(out)[i, :L], np.asarray(ref)[i, :L], atol=2e-5, rtol=1e-4
+            np.asarray(out)[i, :L], np.asarray(ref)[i, :L], atol=5e-3, rtol=2e-2
         )
