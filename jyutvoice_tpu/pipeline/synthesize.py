@@ -216,3 +216,92 @@ class Synthesizer:
                 "audio_seconds": audio_seconds,
             },
         )
+
+    def synthesize_batch(
+        self,
+        items,
+        n_timesteps: int = 10,
+        length_scale: float = 1.0,
+    ):
+        """Batched long-form synthesis (BASELINE config 4).
+
+        items: list of dicts with keys text/lang/phone and optional
+        spk_embed/prompt_feat/prompt_h. All items share one compiled graph:
+        text/mel/prompt lengths are padded to the max bucket of the batch.
+        Returns a list of SynthesisResult.
+        """
+        import jax.numpy as jnp
+
+        from jyutvoice_tpu.pipeline import buckets as bkt
+
+        b = len(items)
+        prepped = [
+            self.prepare_text(it["text"], it.get("lang", "yue"), it.get("phone"))
+            for it in items
+        ]
+        t_text = max(p[2] for p in prepped)
+        feats = {k: np.zeros((b, t_text), np.int32)
+                 for k in ("x", "tone", "word_pos", "syllable_pos", "lang")}
+        x_lengths = np.zeros((b,), np.int32)
+        for i, ((x, tone, wp, sp, lang), n, _) in enumerate(prepped):
+            for key, arr in (("x", x), ("tone", tone), ("word_pos", wp),
+                             ("syllable_pos", sp), ("lang", lang)):
+                feats[key][i, : arr.shape[1]] = np.asarray(arr)[0]
+            x_lengths[i] = n[0]
+
+        spk = np.zeros((b, self.cfg.tts.spk_embed_dim), np.float32)
+        for i, it in enumerate(items):
+            if it.get("spk_embed") is not None:
+                spk[i] = it["spk_embed"]
+
+        jf = {k: jnp.asarray(v) for k, v in feats.items()}
+        y_lens = np.asarray(
+            self._dur_fn(t_text)(
+                self.params_tts, jf["x"], jnp.asarray(x_lengths), jf["lang"],
+                jf["tone"], jf["word_pos"], jf["syllable_pos"], jnp.asarray(spk),
+            )
+        )
+        y_max = int(np.ceil(y_lens.max() * length_scale))
+        t_mel = bkt.pick_bucket(max(y_max, 1), bkt.MEL_BUCKETS)
+
+        p_lens = np.array(
+            [0 if it.get("prompt_feat") is None else len(it["prompt_feat"])
+             for it in items],
+            np.int32,
+        )
+        if p_lens.max() > 0:
+            t_prompt = bkt.pick_bucket(int(p_lens.max()), bkt.PROMPT_BUCKETS[1:])
+            pf = np.zeros((b, t_prompt, 80), np.float32)
+            ph = np.zeros((b, t_prompt, 80), np.float32)
+            for i, it in enumerate(items):
+                if p_lens[i]:
+                    pf[i, : p_lens[i]] = it["prompt_feat"]
+                    ph[i, : p_lens[i]] = it["prompt_h"]
+        else:
+            t_prompt = 0
+            pf = np.zeros((b, 0, 80), np.float32)
+            ph = np.zeros((b, 0, 80), np.float32)
+
+        out = self._mel_fn((t_text, t_mel, t_prompt, n_timesteps))(
+            self.params_tts, self.noise, jf["x"], jnp.asarray(x_lengths),
+            jf["lang"], jf["tone"], jf["word_pos"], jf["syllable_pos"],
+            jnp.asarray(spk), jnp.asarray(pf), jnp.asarray(ph),
+            jnp.asarray(p_lens), length_scale=length_scale,
+        )
+        wav = self._voc_fn(t_mel)(self.params_hift, out.mel)
+        wav_np = np.asarray(wav)
+        mel_np = np.asarray(out.mel)
+        results = []
+        for i in range(b):
+            frames = int(out.mel_lengths[i])
+            samples = frames * self.cfg.audio.hop_length
+            results.append(
+                SynthesisResult(
+                    wav=wav_np[i, :samples],
+                    mel=mel_np[i, :frames],
+                    mel_frames=frames,
+                    rtf=float("nan"),
+                    timings={},
+                )
+            )
+        return results

@@ -125,3 +125,15 @@ def test_provision_npz_roundtrip(tmp_path):
     assert len(la) == len(lb)
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_synthesize_batch(synth):
+    items = [
+        {"text": "佢", "lang": "yue", "phone": "keoi5"},
+        {"text": "好 啊", "lang": "yue", "phone": "hou2 aa3"},
+    ]
+    results = synth.synthesize_batch(items, n_timesteps=2)
+    assert len(results) == 2
+    for r in results:
+        assert r.wav.shape[0] == r.mel_frames * 480
+        assert r.mel.shape == (r.mel_frames, 80)
