@@ -1,0 +1,217 @@
+"""Streaming (chunked) synthesis.
+
+TPU-native implementation of the reference's latent streaming machinery
+(SURVEY.md §5 "long-context"): the CFM decoder consumes fixed-size mel
+chunks with
+
+  * the 34-frame z/mu overlap cache + prompt cache
+    (reference flow_matching.py:196-213 ConditionalCFM.forward),
+  * chunk-causal attention masks inside the estimator
+    (static_chunk_size=50, decoder.py:951-959),
+  * a hann crossfade between consecutive mel chunks
+    (reference utils/common.py:181-191 fade_in_out),
+  * the HiFT sine-source cache to avoid waveform boundary glitches
+    (generator.py:450-466).
+
+Every chunk runs the same compiled graph (fixed shapes: prompt bucket +
+overlap + chunk), so streaming jits exactly once and each step costs O(chunk).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jyutvoice_tpu.config import JyutVoiceConfig
+from jyutvoice_tpu.models import cfm as cfm_mod
+from jyutvoice_tpu.models import hift as hift_mod
+from jyutvoice_tpu.weights.noise import rand_noise
+
+OVERLAP = 34  # frames carried between chunks (flow_matching.py:203)
+
+
+def hann_crossfade_window(overlap: int) -> np.ndarray:
+    """(2*overlap,) hann window; first half fades in, second half fades out."""
+    n = 2 * overlap
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / (n - 1)))).astype(
+        np.float32
+    )
+
+
+@dataclasses.dataclass
+class StreamState:
+    z_cache: np.ndarray  # (1, P+OVERLAP, 80)
+    mu_cache: np.ndarray  # (1, P+OVERLAP, 80)
+    prev_mel_tail: Optional[np.ndarray]  # (OVERLAP, 80) for crossfade
+    prev_voc_tail: np.ndarray  # (OVERLAP, 80) vocoder mel context
+    hift_source: Optional[np.ndarray]  # (1, OVERLAP*480, 1)
+
+
+class StreamingSynthesizer:
+    """Chunked mel decoding + vocoding over a precomputed prior `mu_y`.
+
+    The text half (encoder + durations + expand) runs once up front — it is
+    cheap and non-causal in the reference too; chunking applies to the CFM
+    decoder and vocoder, which dominate cost.
+    """
+
+    def __init__(
+        self,
+        cfg: JyutVoiceConfig,
+        params_tts,
+        params_hift,
+        chunk_frames: int = 100,  # 2 s of mel (must be a chunk-mask multiple)
+        prompt_frames: int = 0,
+    ):
+        self.cfg = cfg
+        self.params_tts = params_tts
+        self.params_hift = params_hift
+        self.chunk = chunk_frames
+        self.p_len = prompt_frames
+        self.noise = rand_noise(self.p_len + OVERLAP + chunk_frames)
+        self._decode_fn = None
+        self._voc_fn = None
+
+    # -- compiled graphs ----------------------------------------------------
+
+    def _get_decode_fn(self):
+        if self._decode_fn is None:
+            cfg = self.cfg.tts
+            seg = self.p_len + OVERLAP + self.chunk
+
+            @jax.jit
+            def f(params, z, mu, spks, cond, n_valid):
+                mask = (
+                    jnp.arange(seg)[None, :, None] < n_valid
+                ).astype(mu.dtype)
+                t_span = cfm_mod.cosine_t_span(10).astype(mu.dtype)
+                return cfm_mod.solve_euler_cfg(
+                    params["decoder"], cfg.cfm, z * mask, t_span, mu * mask,
+                    mask, spks, cond, streaming=True,
+                )
+
+            self._decode_fn = f
+        return self._decode_fn
+
+    def _get_voc_fn(self):
+        if self._voc_fn is None:
+            hift_cfg = self.cfg.hift
+            seg = OVERLAP + self.chunk
+
+            @jax.jit
+            def f(params, mel, cache_source):
+                wav, src = hift_mod.hift_inference(
+                    params, hift_cfg, mel, deterministic=True,
+                    cache_source=cache_source,
+                )
+                return wav, src
+
+            self._voc_fn = f
+        return self._voc_fn
+
+    # -- streaming loop -----------------------------------------------------
+
+    def stream(
+        self,
+        mu_y: np.ndarray,  # (T, 80) prior mean for the whole utterance
+        spk: np.ndarray,  # (80,) projected speaker embedding
+        prompt_feat: Optional[np.ndarray] = None,  # (P, 80)
+        prompt_h: Optional[np.ndarray] = None,  # (P, 80)
+    ) -> Iterator[np.ndarray]:
+        """Yield 24 kHz waveform chunks of `chunk_frames*480` samples."""
+        t_total = mu_y.shape[0]
+        p = self.p_len
+        seg = p + OVERLAP + self.chunk
+        decode = self._get_decode_fn()
+        vocode = self._get_voc_fn()
+        window = hann_crossfade_window(OVERLAP)
+
+        if p:
+            assert prompt_feat is not None and prompt_h is not None
+            assert prompt_feat.shape[0] >= p
+        z_full = self.noise[0]  # (seg, 80)
+
+        state = StreamState(
+            z_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
+            mu_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
+            prev_mel_tail=None,
+            prev_voc_tail=np.zeros((OVERLAP, 80), np.float32),
+            hift_source=None,
+        )
+        if p:
+            state.z_cache[0, :p] = z_full[:p]
+            state.mu_cache[0, :p] = prompt_h[:p]
+
+        first = True
+        pos = 0
+        while pos < t_total:
+            n_new = min(self.chunk, t_total - pos)
+            ov = 0 if first else OVERLAP
+            mu_seg = np.zeros((1, seg, 80), np.float32)
+            z_seg = np.tile(z_full[None], (1, 1, 1)).copy()
+            cond = np.zeros((1, seg, 80), np.float32)
+            if p:
+                mu_seg[0, :p] = state.mu_cache[0, :p]
+                z_seg[0, :p] = state.z_cache[0, :p]
+                cond[0, :p] = prompt_feat[:p]
+            if ov:
+                mu_seg[0, p : p + ov] = state.mu_cache[0, p:]
+                z_seg[0, p : p + ov] = state.z_cache[0, p:]
+            mu_seg[0, p + ov : p + ov + n_new] = mu_y[pos : pos + n_new]
+            n_valid = p + ov + n_new
+
+            mel = np.asarray(
+                decode(
+                    self.params_tts,
+                    jnp.asarray(z_seg),
+                    jnp.asarray(mu_seg),
+                    jnp.asarray(spk[None]),
+                    jnp.asarray(cond),
+                    jnp.asarray(n_valid),
+                )
+            )  # (1, seg, 80)
+
+            # update the z/mu overlap cache with the LAST 34 valid frames
+            tail_lo = max(n_valid - OVERLAP, 0)
+            state.z_cache[0, p:] = z_seg[0, tail_lo : tail_lo + OVERLAP]
+            state.mu_cache[0, p:] = mu_seg[0, tail_lo : tail_lo + OVERLAP]
+
+            new_mel = np.array(mel[0, p + ov : p + ov + n_new])
+            if state.prev_mel_tail is not None:
+                # crossfade the first OVERLAP frames with the previous tail
+                k = min(OVERLAP, n_new)
+                fade_in = window[:OVERLAP, None]
+                fade_out = window[OVERLAP:, None]
+                new_mel[:k] = (
+                    new_mel[:k] * fade_in[:k]
+                    + state.prev_mel_tail[:k] * fade_out[:k]
+                )
+            state.prev_mel_tail = mel[0, n_valid - OVERLAP : n_valid].copy()
+
+            # vocode [overlap-context + new] with the sine-source cache
+            voc_in = np.zeros((1, OVERLAP + self.chunk, 80), np.float32)
+            voc_in[0, :OVERLAP] = state.prev_voc_tail
+            voc_in[0, OVERLAP : OVERLAP + n_new] = new_mel
+            cache_src = (
+                jnp.asarray(state.hift_source)
+                if state.hift_source is not None
+                else jnp.zeros((1, OVERLAP * 480, 1), jnp.float32)
+            )
+            wav, src = vocode(self.params_hift, jnp.asarray(voc_in), cache_src)
+            wav = np.asarray(wav)
+            src = np.asarray(src)
+            samples = n_new * 480
+            yield wav[0, OVERLAP * 480 : OVERLAP * 480 + samples]
+            # next call's context = the last OVERLAP mel frames just emitted,
+            # and their already-computed sine source
+            ctx = np.concatenate([state.prev_voc_tail, new_mel[:n_new]], axis=0)
+            state.prev_voc_tail = ctx[-OVERLAP:].copy()
+            src_hi = (OVERLAP + n_new) * 480
+            state.hift_source = src[:, src_hi - OVERLAP * 480 : src_hi].copy()
+
+            pos += n_new
+            first = False
