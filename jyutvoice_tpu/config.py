@@ -86,8 +86,10 @@ class EstimatorConfig:
     static_chunk_size: int = 50  # mel frames per streaming chunk (25 tokens * 2)
     num_decoding_left_chunks: int = -1
     # "pallas" uses the fused flash-attention kernel (nn/pallas/attention.py)
-    # when T is block-aligned; "xla" materializes the bias (reference-style)
-    attention_backend: str = "pallas"
+    # when T is block-aligned; "xla" lets the compiler fuse the bias path.
+    # Measured on v5e: XLA wins or ties at synthesis shapes; pallas wins for
+    # long chunked (streaming) sequences (scripts/bench_attention.py).
+    attention_backend: str = "xla"
 
     @property
     def time_embed_dim(self) -> int:

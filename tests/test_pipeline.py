@@ -137,3 +137,42 @@ def test_synthesize_batch(synth):
     for r in results:
         assert r.wav.shape[0] == r.mel_frames * 480
         assert r.mel.shape == (r.mel_frames, 80)
+
+
+def test_serving_aot_and_export(tmp_path):
+    """AOT compile + StableHLO export/reload produce identical outputs."""
+    import jax.numpy as jnp
+    from jyutvoice_tpu.pipeline import serving
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    t_text, t_mel, t_prompt = 32, 128, 0
+    compiled = serving.aot_compile(
+        TINY, params, params_hift,
+        t_text=t_text, t_mel=t_mel, t_prompt=t_prompt, n_timesteps=2,
+    )
+    rng = np.random.default_rng(0)
+    args = (
+        jnp.asarray(rng.integers(1, 97, (1, t_text)), jnp.int32),
+        jnp.asarray([t_text], jnp.int32),
+        jnp.asarray(rng.integers(0, 4, (1, t_text)), jnp.int32),
+        jnp.asarray(rng.integers(0, 7, (1, t_text)), jnp.int32),
+        jnp.asarray(rng.integers(0, 4, (1, t_text)), jnp.int32),
+        jnp.asarray(rng.integers(0, 4, (1, t_text)), jnp.int32),
+        jnp.asarray(rng.standard_normal((1, 192)), jnp.float32),
+        jnp.zeros((1, t_prompt, 80), jnp.float32),
+        jnp.zeros((1, t_prompt, 80), jnp.float32),
+        jnp.asarray([0], jnp.int32),
+    )
+    wav, mel, lens = compiled(*args)
+    assert np.isfinite(np.asarray(wav)).all()
+
+    path = str(tmp_path / "tts_bucket.stablehlo")
+    serving.export_stablehlo(
+        TINY, params, params_hift, path,
+        t_text=t_text, t_mel=t_mel, t_prompt=t_prompt, n_timesteps=2,
+    )
+    reloaded = serving.load_stablehlo(path)
+    wav2, mel2, lens2 = reloaded(*args)
+    np.testing.assert_allclose(np.asarray(wav), np.asarray(wav2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
