@@ -152,6 +152,38 @@ def main(argv=None):
                 if args.max_steps and global_step >= args.max_steps:
                     break
             else:
+                # ---- validation at epoch end (reference runs val every
+                # epoch + logs val_loss, baselightningmodule.py:162-204)
+                val_metrics = []
+                for vbatch in dm.valid_batches():
+                    b = vbatch["x"].shape[0]
+                    if b % n_dev != 0:
+                        padb = (n_dev - b % n_dev) % n_dev
+                        vbatch = {
+                            k: np.concatenate([v] + [v[:1]] * padb, axis=0)
+                            for k, v in vbatch.items()
+                        }
+                    vbatch = shard_batch(
+                        {k: jax.numpy.asarray(v) for k, v in vbatch.items()},
+                        mesh,
+                    )
+                    from jyutvoice_tpu.train.step import loss_fn
+
+                    _, m = jax.jit(loss_fn, static_argnums=(1, 2))(
+                        state.params, cfg.tts, tr,
+                        jax.device_put(jax.random.PRNGKey(0), rep), vbatch,
+                    )
+                    val_metrics.append({k: float(v) for k, v in m.items()})
+                if val_metrics:
+                    avg = {
+                        k: float(np.mean([m[k] for m in val_metrics]))
+                        for k in val_metrics[0]
+                    }
+                    log.info(
+                        "epoch %d | val_loss %.4f (dur %.4f prior %.4f diff %.4f)",
+                        epoch, avg["loss"], avg["dur_loss"], avg["prior_loss"],
+                        avg["diff_loss"],
+                    )
                 continue
             break
 
