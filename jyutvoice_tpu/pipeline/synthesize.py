@@ -121,6 +121,32 @@ class Synthesizer:
             self._voc_fns[t_mel] = f
         return self._voc_fns[t_mel]
 
+    def _fused_fn(self, key: Tuple[int, int, int, int]):
+        """mel graph + vocoder in ONE compiled call (single dispatch)."""
+        fkey = ("fused",) + key
+        if fkey not in self._mel_fns:
+            t_text, t_mel, t_prompt, n_steps = key
+            cfg = self.cfg.tts
+            hift_cfg = self.cfg.hift
+
+            @functools.partial(jax.jit, static_argnames=("length_scale",))
+            def f(params, params_hift, noise, x, x_lengths, lang, tone,
+                  word_pos, syllable_pos, spk, prompt_feat, prompt_h,
+                  prompt_lengths, length_scale=1.0):
+                out = tts_mod.synthesize_mel(
+                    params, cfg, x, x_lengths, lang, tone, word_pos,
+                    syllable_pos, spk, prompt_feat, prompt_h, prompt_lengths,
+                    t_mel_max=t_mel, n_timesteps=n_steps, rand_noise=noise,
+                    length_scale=length_scale,
+                )
+                wav, _ = hift_mod.hift_inference(
+                    params_hift, hift_cfg, out.mel, deterministic=True
+                )
+                return wav, out.mel, out.mel_lengths
+
+            self._mel_fns[fkey] = f
+        return self._mel_fns[fkey]
+
     # ---------------- host API ----------------
 
     def prepare_text(self, text: str, lang: str, phone: Optional[str] = None):
@@ -148,6 +174,7 @@ class Synthesizer:
         prompt_h: Optional[np.ndarray] = None,  # (T_p, 80)
         n_timesteps: int = 10,
         length_scale: float = 1.0,
+        fused: bool = True,
     ) -> SynthesisResult:
         t0 = time.perf_counter()
         (x, tone, word_pos, syllable_pos, lang_ids), n, t_text = self.prepare_text(
@@ -185,18 +212,27 @@ class Synthesizer:
             plen = np.array([0], np.int32)
 
         t1 = time.perf_counter()
-        out = self._mel_fn((t_text, t_mel, t_prompt, n_timesteps))(
-            self.params_tts, self.noise, x, x_lengths, lang_ids, tone,
-            word_pos, syllable_pos, spk, jnp.asarray(pf), jnp.asarray(ph),
-            jnp.asarray(plen), length_scale=length_scale,
-        )
-        mel = out.mel
-        mel_frames = int(out.mel_lengths[0])
-        t2 = time.perf_counter()
-
-        wav = self._voc_fn(t_mel)(self.params_hift, mel)
-        wav.block_until_ready()
-        t3 = time.perf_counter()
+        key = (t_text, t_mel, t_prompt, n_timesteps)
+        if fused:
+            wav, mel, mel_lengths = self._fused_fn(key)(
+                self.params_tts, self.params_hift, self.noise, x, x_lengths,
+                lang_ids, tone, word_pos, syllable_pos, spk, jnp.asarray(pf),
+                jnp.asarray(ph), jnp.asarray(plen), length_scale=length_scale,
+            )
+            mel_frames = int(mel_lengths[0])
+            t2 = t3 = time.perf_counter()
+        else:
+            out = self._mel_fn(key)(
+                self.params_tts, self.noise, x, x_lengths, lang_ids, tone,
+                word_pos, syllable_pos, spk, jnp.asarray(pf), jnp.asarray(ph),
+                jnp.asarray(plen), length_scale=length_scale,
+            )
+            mel = out.mel
+            mel_frames = int(out.mel_lengths[0])
+            t2 = time.perf_counter()
+            wav = self._voc_fn(t_mel)(self.params_hift, mel)
+            wav.block_until_ready()
+            t3 = time.perf_counter()
 
         num_samples = mel_frames * self.cfg.audio.hop_length
         wav_np = np.asarray(wav)[0, :num_samples]
