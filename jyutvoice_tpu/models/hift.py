@@ -142,49 +142,48 @@ def small_stft(x: Array, n_fft: int, hop: int) -> Tuple[Array, Array]:
     return re, im
 
 
-@functools.lru_cache(maxsize=4)
-def _ola_kernel(n_fft: int) -> np.ndarray:
-    """conv_transpose kernel (K=n_fft, C_in=n_fft, C_out=1): tap k reads ch k."""
-    kern = np.zeros((n_fft, n_fft, 1), dtype=np.float32)
-    for k in range(n_fft):
-        # lax conv is correlation: tap c of frame m lands at m*hop + c when
-        # the kernel is spatially flipped
-        kern[k, n_fft - 1 - k, 0] = 1.0
-    return kern
+@functools.lru_cache(maxsize=8)
+def _ola_inv_envelope(t_frames: int, n_fft: int, hop: int) -> np.ndarray:
+    """Precomputed 1/(window^2 overlap-add) envelope, (T-1)*hop + n_fft."""
+    n = np.arange(n_fft)
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+    wsq = window * window
+    env = np.zeros(( (t_frames - 1) * hop + n_fft,), np.float64)
+    for m in range(t_frames):
+        env[m * hop : m * hop + n_fft] += wsq
+    return (1.0 / np.maximum(env, 1e-11)).astype(np.float32)
 
 
 def small_istft(re: Array, im: Array, n_fft: int, hop: int) -> Array:
-    """torch.istft(center=True) semantics: (B, T, n_bins) -> (B, (T-1)*hop)."""
+    """torch.istft(center=True) semantics: (B, T, n_bins) -> (B, (T-1)*hop).
+
+    Overlap-add without scatter/conv: with r = n_fft/hop overlapping frames
+    per hop-group, each output hop-group g is the sum of r shifted frame
+    quarters — r pads + adds on (B, T, hop) views. Envelope normalization is
+    a precomputed constant.
+    """
+    assert n_fft % hop == 0
+    r = n_fft // hop
+    b, t_frames, _ = re.shape
     c, s = _small_idft_matrices(n_fft)
     frames = (
         jnp.dot(re, jnp.asarray(c), preferred_element_type=jnp.float32)
         + jnp.dot(im, jnp.asarray(s), preferred_element_type=jnp.float32)
-    )  # (B, T, n_fft) time frames
+    )  # (B, T, n_fft)
     n = np.arange(n_fft)
     window = (0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))).astype(np.float32)
     frames = frames * window[None, None, :]
-    # overlap-add as a fixed-kernel transposed conv
-    kern = jnp.asarray(_ola_kernel(n_fft))
-    y = jax.lax.conv_general_dilated(
-        frames,
-        kern,
-        window_strides=(1,),
-        padding=[(n_fft - 1, n_fft - 1)],
-        lhs_dilation=(hop,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )[:, :, 0]
-    # y length = (T-1)*hop + n_fft; window-square envelope normalization
-    t_frames = re.shape[1]
-    wsq = window * window
-    env = jax.lax.conv_general_dilated(
-        jnp.broadcast_to(wsq[None, None, :], (1, t_frames, n_fft)),
-        kern,
-        window_strides=(1,),
-        padding=[(n_fft - 1, n_fft - 1)],
-        lhs_dilation=(hop,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )[0, :, 0]
-    y = y / jnp.maximum(env, 1e-11)
+
+    # groups: frame m covers hop-groups m..m+r-1; part k of frame m lands in
+    # group m+k -> y_groups = sum_k shift(frames[:, :, k*hop:(k+1)*hop], k)
+    n_groups = t_frames - 1 + r
+    y = jnp.zeros((b, n_groups, hop), jnp.float32)
+    for k in range(r):
+        part = frames[:, :, k * hop : (k + 1) * hop]
+        y = y.at[:, k : k + t_frames, :].add(part)
+    y = y.reshape(b, n_groups * hop)
+    inv_env = jnp.asarray(_ola_inv_envelope(t_frames, n_fft, hop))
+    y = y * inv_env[None, :]
     half = n_fft // 2
     return y[:, half:-half]
 
