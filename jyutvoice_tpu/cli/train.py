@@ -118,8 +118,10 @@ def main(argv=None):
         key = jax.random.PRNGKey(args.seed)
         global_step = start_step
         t_start = time.time()
+        from jyutvoice_tpu.train.prefetch import prefetch
+
         for epoch in range(tr.max_epochs):
-            for batch in dm.train_batches(epoch):
+            for batch in prefetch(dm.train_batches(epoch)):
                 b = batch["x"].shape[0]
                 if b % n_dev != 0:  # pad batch to the mesh size
                     padb = (n_dev - b % n_dev) % n_dev

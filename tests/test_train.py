@@ -160,3 +160,20 @@ def test_orbax_checkpoint_roundtrip(tmp_path, params, batch):
     leaves_b = jax.tree.leaves(restored["params"])
     for a, b_ in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_prefetch_iterator():
+    from jyutvoice_tpu.train.prefetch import prefetch
+
+    items = list(range(20))
+    out = list(prefetch(iter(items), depth=3))
+    assert out == items
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        list(it)
