@@ -224,6 +224,65 @@ def apply_resblock(p, x: Array, kernel_size: int, dilations) -> Array:
     return x
 
 
+def _pad_kernel_center(w: Array, k_target: int) -> Array:
+    """Zero-pad a (k, Cin, Cout) conv kernel to k_target, centered.
+
+    With symmetric 'same' padding the padded kernel computes identical
+    outputs (the extra taps are zero), letting different-k branches share
+    one grouped convolution.
+    """
+    k = w.shape[0]
+    off = (k_target - k) // 2
+    return jnp.pad(w, ((off, k_target - k - off), (0, 0), (0, 0)))
+
+
+def apply_resblock_group(branches, x: Array, kernel_sizes, dilations) -> Array:
+    """Run the 3 parallel ResBlocks of one upsample stage as grouped convs.
+
+    The reference averages 3 ResBlocks with kernel sizes (3,7,11) and the
+    SAME dilation schedule (generator.py:415-421, configs/base.yaml:39-40).
+    Fusing the branches into feature-grouped convolutions cuts the number of
+    conv dispatches 3x — the vocoder trunk is dispatch-bound on TPU.
+    Returns mean(branch outputs).
+    """
+    n = len(branches)
+    b, t, c = x.shape
+    k_max = max(kernel_sizes)
+    xc = jnp.tile(x, (1, 1, n))  # (B, T, n*C) group-major
+    n_steps = len(dilations[0])
+    for j in range(n_steps):
+        d = dilations[0][j]
+        a1 = jnp.concatenate([br["alphas1"][j] for br in branches])
+        a2 = jnp.concatenate([br["alphas2"][j] for br in branches])
+        w1 = jnp.concatenate(
+            [
+                _pad_kernel_center(br["convs1"][j]["w"], k_max)
+                for br in branches
+            ],
+            axis=2,
+        )  # (k_max, C, n*C)
+        b1 = jnp.concatenate([br["convs1"][j]["b"] for br in branches])
+        w2 = jnp.concatenate(
+            [
+                _pad_kernel_center(br["convs2"][j]["w"], k_max)
+                for br in branches
+            ],
+            axis=2,
+        )
+        b2 = jnp.concatenate([br["convs2"][j]["b"] for br in branches])
+
+        xt = core.snake(xc, a1)
+        pad = (k_max * d - d) // 2
+        xt = core.conv1d(
+            {"w": w1, "b": b1}, xt, padding=(pad, pad), dilation=d, groups=n
+        )
+        xt = core.snake(xt, a2)
+        pad2 = (k_max - 1) // 2
+        xt = core.conv1d({"w": w2, "b": b2}, xt, padding=(pad2, pad2), groups=n)
+        xc = xc + xt
+    return jnp.mean(xc.reshape(b, t, n, c), axis=2)
+
+
 # ---------------------------------------------------------------------------
 # Generator
 # ---------------------------------------------------------------------------
@@ -307,14 +366,24 @@ def hift_decode(p, cfg: HiFTConfig, mel: Array, source: Array) -> Array:
             cfg.source_resblock_dilation_sizes[i],
         )
         x = x + si
-        xs = None
-        for j in range(num_kernels):
-            out = apply_resblock(
-                p["resblocks"][i * num_kernels + j], x,
-                cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j],
+        branches = p["resblocks"][i * num_kernels : (i + 1) * num_kernels]
+        if cfg.fuse_resblock_branches and len(
+            set(cfg.resblock_dilation_sizes)
+        ) == 1:
+            x = apply_resblock_group(
+                branches, x, cfg.resblock_kernel_sizes,
+                cfg.resblock_dilation_sizes,
             )
-            xs = out if xs is None else xs + out
-        x = xs / num_kernels
+        else:
+            xs = None
+            for j in range(num_kernels):
+                out = apply_resblock(
+                    branches[j], x,
+                    cfg.resblock_kernel_sizes[j],
+                    cfg.resblock_dilation_sizes[j],
+                )
+                xs = out if xs is None else xs + out
+            x = xs / num_kernels
 
     x = core.leaky_relu(x, 0.01)  # default F.leaky_relu slope
     x = core.conv1d(p["conv_post"], x, padding="same_torch")
