@@ -21,6 +21,52 @@ import numpy as np
 log = logging.getLogger("jyutvoice_tpu.train")
 
 
+def _log_val_sample(cfg, state, dm, tb, step, mesh):
+    """Synthesize one validation row and log mel/attn images
+    (the reference's on_validation_end visualization)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jyutvoice_tpu.models.tts import synthesize_mel
+    from jyutvoice_tpu.pipeline import buckets as bkt
+    from jyutvoice_tpu.weights.noise import rand_noise
+
+    vbatch = next(iter(dm.valid_batches()), None)
+    if vbatch is None or tb.writer is None:
+        return
+    i = 0
+    n = int(vbatch["x_lengths"][i])
+    t_text = bkt.pick_bucket(n, bkt.TEXT_BUCKETS)
+    t_mel = bkt.pick_bucket(int(vbatch["y_lengths"][i]) + 64, bkt.MEL_BUCKETS)
+    dev0 = jax.devices()[0]
+    params = jax.device_put(
+        jax.tree.map(np.asarray, state.params), dev0
+    )
+
+    def cut(key):
+        a = np.zeros((1, t_text), np.int32)
+        a[0, :n] = np.asarray(vbatch[key])[i, :n]
+        return jnp.asarray(a)
+
+    out = synthesize_mel(
+        params, cfg.tts, cut("x"), jnp.asarray([n], jnp.int32), cut("lang"),
+        cut("tone"), cut("word_pos"), cut("syllable_pos"),
+        jnp.asarray(np.asarray(vbatch["spk_embed"])[i : i + 1]),
+        jnp.zeros((1, 0, 80), jnp.float32), jnp.zeros((1, 0, 80), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+        t_mel_max=t_mel, n_timesteps=10,
+        rand_noise=jnp.asarray(rand_noise(t_mel)),
+    )
+    frames = int(out.mel_lengths[0])
+    tb.mel_image("val/generated_mel", np.asarray(out.mel)[0, :frames], step)
+    tb.mel_image(
+        "val/encoder_mel", np.asarray(out.encoder_mel)[0, :frames], step
+    )
+    gt = np.asarray(vbatch["y"])[i, : int(vbatch["y_lengths"][i])]
+    tb.mel_image("val/ground_truth_mel", gt, step)
+    tb.attn_image("val/alignment", np.asarray(out.attn)[0, :n, :frames], step)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="JyutVoice-TPU training")
     parser.add_argument("--dataset", default=None, help="HF dataset dir")
@@ -34,6 +80,7 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--tb-dir", default=None, help="TensorBoard log dir")
     parser.add_argument("--save-every", type=int, default=500)
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args(argv)
@@ -105,6 +152,12 @@ def main(argv=None):
     log.info("mesh: %d device(s): %s", n_dev, mesh)
     step_fn = make_train_step(cfg.tts, tr, tx)
 
+    from jyutvoice_tpu.utils.observability import log_param_counts
+    from jyutvoice_tpu.utils.tb_logging import TrainLogger
+
+    log_param_counts(params)
+    tb = TrainLogger(args.tb_dir)
+
     with mesh:
         rep = replicate(mesh)
         state = jax.device_put(state, rep)
@@ -137,6 +190,7 @@ def main(argv=None):
                 global_step += 1
                 if global_step % args.log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
+                    tb.scalars("train", m, global_step)
                     log.info(
                         "step %d | loss %.4f (dur %.4f prior %.4f diff %.4f) "
                         "| grad %.3f | %.2f steps/s",
@@ -181,11 +235,18 @@ def main(argv=None):
                         k: float(np.mean([m[k] for m in val_metrics]))
                         for k in val_metrics[0]
                     }
+                    tb.scalars("val", avg, global_step)
                     log.info(
                         "epoch %d | val_loss %.4f (dur %.4f prior %.4f diff %.4f)",
                         epoch, avg["loss"], avg["dur_loss"], avg["prior_loss"],
                         avg["diff_loss"],
                     )
+                # validation-end sample synthesis + mel/attn images
+                # (reference baselightningmodule.py:206-300); never fatal
+                try:
+                    _log_val_sample(cfg, state, dm, tb, global_step, mesh)
+                except Exception as e:  # noqa: BLE001
+                    log.warning("val sample logging failed: %s", e)
                 continue
             break
 

@@ -177,3 +177,23 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(RuntimeError):
         list(it)
+
+
+def test_viz_and_tb_logger(tmp_path):
+    from jyutvoice_tpu.utils.tb_logging import TrainLogger
+    from jyutvoice_tpu.utils.viz import colormap, save_attn_png, save_mel_png
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((60, 80)).astype(np.float32)
+    img = colormap(mel)
+    assert img.shape == (60, 80, 3) and img.dtype == np.uint8
+    save_mel_png(str(tmp_path / "mel.png"), mel)
+    save_attn_png(str(tmp_path / "attn.png"), rng.random((10, 60)))
+    assert (tmp_path / "mel.png").exists()
+
+    tb = TrainLogger(str(tmp_path / "tb"))
+    tb.scalars("train", {"loss": 1.0}, 1)
+    tb.mel_image("val/mel", mel, 1)
+    tb.attn_image("val/attn", rng.random((10, 60)), 1)
+    tb.close()
+    assert any((tmp_path / "tb").iterdir())
