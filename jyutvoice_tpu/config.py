@@ -162,8 +162,9 @@ class HiFTConfig:
     audio_limit: float = 0.99
     f0_predictor_cond_channels: int = 512
     # run each stage's 3 parallel ResBlocks as feature-grouped convs
-    # (3x fewer conv dispatches; numerically identical — zero-padded kernels)
-    fuse_resblock_branches: bool = True
+    # (numerically identical — zero-padded kernels). Measured on v5e: XLA
+    # lowers grouped convs ~4x SLOWER than separate convs, so default off.
+    fuse_resblock_branches: bool = False
 
     @property
     def total_upsample(self) -> int:
