@@ -165,6 +165,9 @@ class HiFTConfig:
     # (numerically identical — zero-padded kernels). Measured on v5e: XLA
     # lowers grouped convs ~4x SLOWER than separate convs, so default off.
     fuse_resblock_branches: bool = False
+    # "pallas": fused whole-stage ResBlock kernel (nn/pallas/resblock.py) for
+    # stages with C <= 128 on TPU; "xla": reference-style separate convs
+    resblock_backend: str = "xla"
 
     @property
     def total_upsample(self) -> int:

@@ -367,7 +367,27 @@ def hift_decode(p, cfg: HiFTConfig, mel: Array, source: Array) -> Array:
         )
         x = x + si
         branches = p["resblocks"][i * num_kernels : (i + 1) * num_kernels]
-        if cfg.fuse_resblock_branches and len(
+        use_pallas = (
+            cfg.resblock_backend == "pallas"
+            and x.shape[-1] <= 128
+            and len(set(cfg.resblock_dilation_sizes)) == 1
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from jyutvoice_tpu.nn.pallas.resblock import (
+                fused_resblock_stage,
+                pack_stage_weights,
+            )
+
+            weights = pack_stage_weights(branches, cfg.resblock_dilation_sizes[0])
+            x = jax.vmap(
+                lambda row: fused_resblock_stage(
+                    row, weights,
+                    kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+                    dilations=tuple(cfg.resblock_dilation_sizes[0]),
+                )
+            )(x)
+        elif cfg.fuse_resblock_branches and len(
             set(cfg.resblock_dilation_sizes)
         ) == 1:
             x = apply_resblock_group(

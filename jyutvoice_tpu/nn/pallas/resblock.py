@@ -1,0 +1,182 @@
+"""Fused HiFT ResBlock-stage Pallas kernel.
+
+One upsample stage of the vocoder trunk averages 3 parallel ResBlocks
+(kernel sizes 3/7/11, dilations 1/3/5; reference hifigan/generator.py:43-97,
+415-421). Under XLA this is 18 separate convolutions + 36 snake activations
+per stage, each re-reading/writing the full (T, C) activation from HBM —
+bandwidth and op-overhead bound at C=64/128.
+
+This kernel computes the whole stage in ONE pass: each grid step DMAs a
+(BLOCK + 2*halo, C) input window into VMEM and evaluates every branch's full
+snake->conv->snake->conv residual chain with shifted-slice matmuls, keeping
+all intermediates in VMEM/registers. HBM traffic drops from ~20x to ~2x the
+activation size.
+
+Only for channel counts whose stage weights fit VMEM (C <= 128); the C=256
+stage stays on XLA (it is short and cheap).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def chain_halo(kernel_size: int, dilations: Sequence[int]) -> int:
+    """Per-side receptive margin of a full ResBlock chain."""
+    h = 0
+    for d in dilations:
+        h += (kernel_size * d - d) // 2  # conv1 (dilated)
+        h += (kernel_size - 1) // 2  # conv2 (d=1)
+    return h
+
+
+def _snake(x, alpha):
+    return x + jnp.square(jnp.sin(x * alpha)) / (alpha + 1e-9)
+
+
+def _conv_valid(x, w_ref, b_ref, dilation: int, k: int, l_out: int):
+    """VALID conv via k shifted matmuls. x (L, C); w (k, C, C); out (l_out, C)."""
+    acc = jnp.zeros((l_out, x.shape[-1]), jnp.float32) + b_ref[:][None, :]
+    for i in range(k):
+        acc += jnp.dot(
+            x[i * dilation : i * dilation + l_out, :],
+            w_ref[i],
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+def _stage_kernel(
+    x_hbm,  # ANY: (T_pad + 2*halo_max, C)
+    *refs,
+    block_t: int,
+    halo_max: int,
+    kernel_sizes: Tuple[int, ...],
+    dilations: Tuple[int, ...],
+    n_branches: int,
+    t_true: int,
+):
+    """refs = per-branch weight refs (w1_j, b1_j, a1_j, w2_j, b2_j, a2_j for
+    each dilation step j), then out_ref, then scratch (vmem, sem)."""
+    n_steps = len(dilations)
+    per_branch = 6 * n_steps
+    weight_refs = refs[: n_branches * per_branch]
+    out_ref = refs[n_branches * per_branch]
+    xin_vmem, sem = refs[n_branches * per_branch + 1 :]
+
+    i = pl.program_id(0)
+    size = block_t + 2 * halo_max
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * block_t, size), :], xin_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+    xin = xin_vmem[:].astype(jnp.float32)
+
+    c = xin.shape[-1]
+
+    def in_range_mask(l_cur: int, consumed: int):
+        """1.0 where the buffer row maps to a true-sequence position.
+
+        Each unfused conv zero-pads its input at the TRUE sequence edges
+        (torch 'same' padding); replicate by zeroing out-of-range rows
+        before every conv. Buffer row m at this depth is absolute position
+        i*block_t - halo_max + consumed + m.
+        """
+        base = pl.program_id(0) * block_t - halo_max + consumed
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, (l_cur, 1), 0)
+        return ((pos >= 0) & (pos < t_true)).astype(jnp.float32)
+
+    acc_out = jnp.zeros((block_t, c), jnp.float32)
+    for b in range(n_branches):
+        k = kernel_sizes[b]
+        wb = weight_refs[b * per_branch : (b + 1) * per_branch]
+        cur = xin  # length shrinks as the chain consumes halo
+        consumed = 0
+        for j, d in enumerate(dilations):
+            w1, b1, a1, w2, b2, a2 = wb[6 * j : 6 * j + 6]
+            p1 = (k * d - d) // 2
+            p2 = (k - 1) // 2
+            l_cur = size - 2 * consumed
+            xt = _snake(cur, a1[:][None, :]) * in_range_mask(l_cur, consumed)
+            xt = _conv_valid(xt, w1, b1, d, k, l_cur - 2 * p1)
+            xt = _snake(xt, a2[:][None, :]) * in_range_mask(
+                l_cur - 2 * p1, consumed + p1
+            )
+            xt = _conv_valid(xt, w2, b2, 1, k, l_cur - 2 * (p1 + p2))
+            cur = cur[p1 + p2 : l_cur - (p1 + p2), :] + xt
+            consumed += p1 + p2
+        # valid output block sits at offset halo_max - consumed
+        off = halo_max - consumed
+        acc_out += cur[off : off + block_t, :]
+
+    out_ref[:] = (acc_out / n_branches).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_sizes", "dilations", "block_t", "interpret"),
+)
+def fused_resblock_stage(
+    x: jax.Array,  # (T, C) single row
+    weights: Tuple[jax.Array, ...],  # flat per-branch weight arrays
+    *,
+    kernel_sizes: Tuple[int, ...] = (3, 7, 11),
+    dilations: Tuple[int, ...] = (1, 3, 5),
+    block_t: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    t, c = x.shape
+    n_branches = len(kernel_sizes)
+    halo_max = max(chain_halo(k, dilations) for k in kernel_sizes)
+    t_pad = -(-t // block_t) * block_t
+    xp = jnp.pad(x, ((halo_max, halo_max + (t_pad - t)), (0, 0)))
+
+    kernel = functools.partial(
+        _stage_kernel,
+        block_t=block_t,
+        halo_max=halo_max,
+        kernel_sizes=kernel_sizes,
+        dilations=dilations,
+        n_branches=n_branches,
+        t_true=t,
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(t_pad // block_t,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_t, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_t + 2 * halo_max, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, *weights)
+    return out[:t]
+
+
+def pack_stage_weights(branches, dilations) -> Tuple[jax.Array, ...]:
+    """Flatten the 3 ResBlock param dicts into the kernel's argument order."""
+    flat = []
+    for br in branches:
+        for j in range(len(dilations)):
+            flat += [
+                br["convs1"][j]["w"],  # (k, C, C)
+                br["convs1"][j]["b"],
+                br["alphas1"][j],
+                br["convs2"][j]["w"],
+                br["convs2"][j]["b"],
+                br["alphas2"][j],
+            ]
+    return tuple(flat)
