@@ -166,7 +166,9 @@ class HiFTConfig:
     # lowers grouped convs ~4x SLOWER than separate convs, so default off.
     fuse_resblock_branches: bool = False
     # "pallas": fused whole-stage ResBlock kernel (nn/pallas/resblock.py) for
-    # stages with C <= 128 on TPU; "xla": reference-style separate convs
+    # stages with C <= 128 on TPU; "xla": reference-style separate convs.
+    # Measured on v5e @ T=512 mel: xla 12.6 ms vs pallas 19.8 ms (the fused
+    # kernel is small-matmul latency-bound) -> default xla.
     resblock_backend: str = "xla"
 
     @property

@@ -137,6 +137,21 @@ def fused_resblock_stage(
     n_branches = len(kernel_sizes)
     halo_max = max(chain_halo(k, dilations) for k in kernel_sizes)
     t_pad = -(-t // block_t) * block_t
+
+    # Mosaic DMA slices must span full 128-lane tiles: pad channels to 128.
+    # Padded channels carry zeros through the whole chain (zero weights/bias),
+    # so results are exact; the MXU is 128 lanes wide regardless.
+    c_pad = max(128, c)
+    if c_pad != c:
+        x = jnp.pad(x, ((0, 0), (0, c_pad - c)))
+        padded_weights = []
+        for w in weights:
+            if w.ndim == 3:  # (k, C, C) conv kernel
+                w = jnp.pad(w, ((0, 0), (0, c_pad - c), (0, c_pad - c)))
+            else:  # (C,) bias / alpha
+                w = jnp.pad(w, ((0, c_pad - c),))
+            padded_weights.append(w)
+        weights = tuple(padded_weights)
     xp = jnp.pad(x, ((halo_max, halo_max + (t_pad - t)), (0, 0)))
 
     kernel = functools.partial(
@@ -155,15 +170,15 @@ def fused_resblock_stage(
         kernel,
         grid=(t_pad // block_t,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_t, c), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((t_pad, c), x.dtype),
+        out_specs=pl.BlockSpec((block_t, c_pad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, c_pad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_t + 2 * halo_max, c), x.dtype),
+            pltpu.VMEM((block_t + 2 * halo_max, c_pad), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp, *weights)
-    return out[:t]
+    return out[:t, :c]
 
 
 def pack_stage_weights(branches, dilations) -> Tuple[jax.Array, ...]:
