@@ -66,15 +66,17 @@ def main(argv=None):
                         choices=["yue", "zh", "en", "multilingual"])
     parser.add_argument("--phone", default=None,
                         help="explicit jyutping/pinyin (space separated)")
-    parser.add_argument("--ckpt", default=None, help="tts checkpoint (.npz/.ckpt/.pt)")
+    parser.add_argument("--ckpt", "--tts_checkpoint", default=None,
+                        help="tts checkpoint (.npz/.ckpt/.pt)")
     parser.add_argument("--hift", default=None, help="hift checkpoint")
-    parser.add_argument("--flow-encoder", default=None)
+    parser.add_argument("--flow-encoder", "--flow_encoder", default=None)
     parser.add_argument("--campplus-onnx", default=None)
     parser.add_argument("--tokenizer-onnx", default=None)
-    parser.add_argument("--ref-audio", default=None, help="voice cloning prompt wav")
+    parser.add_argument("--ref-audio", "--ref_audio", default=None,
+                        help="voice cloning prompt wav")
     parser.add_argument("--output", default="output.wav")
-    parser.add_argument("--n-timesteps", type=int, default=10)
-    parser.add_argument("--length-scale", type=float, default=0.9)
+    parser.add_argument("--n-timesteps", "--n_timesteps", type=int, default=10)
+    parser.add_argument("--length-scale", "--length_scale", type=float, default=0.9)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)

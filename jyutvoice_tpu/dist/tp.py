@@ -1,0 +1,88 @@
+"""Tensor-parallel sharding for the CFM estimator (serving latency scaling).
+
+The reference has no TP (SURVEY.md §2.8) — single-GPU synthesis is its unit
+of work. On TPU, multi-chip latency scaling is nearly free with GSPMD:
+annotate the estimator's attention/FFN weights Megatron-style over a
+`model` mesh axis and let XLA partition the per-step compute and insert the
+all-reduces (over ICI) after the attention-out and FFN-out projections.
+
+  * attn q/k/v: (C, H*D) sharded on the head-projection axis,
+  * attn out:   (H*D, C) sharded on the input axis,
+  * ff_in:      (C, 4C) sharded on the hidden axis,
+  * ff_out:     (4C, C) sharded on the input axis,
+  * conv/resnet/time/etc: replicated (tiny).
+
+Usage:
+    mesh = make_tp_mesh(n)
+    shardings = tts_partition_tree(params, mesh)
+    params = jax.device_put(params, shardings)
+    out = jax.jit(fn, in_shardings=(shardings, ...))(params, ...)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_tp_mesh(n_devices: int | None = None, axis_name: str = "model") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def _block_specs(axis: str) -> dict:
+    return {
+        "norm1": {"g": P(), "b": P()},
+        "attn": {
+            "q": {"w": P(None, axis)},
+            "k": {"w": P(None, axis)},
+            "v": {"w": P(None, axis)},
+            "o": {"w": P(axis, None), "b": P()},
+        },
+        "norm3": {"g": P(), "b": P()},
+        "ff_in": {"w": P(None, axis), "b": P(axis)},
+        "ff_out": {"w": P(axis, None), "b": P()},
+    }
+
+
+def _stage_specs(stage_params: dict, axis: str) -> dict:
+    return {
+        "resnet": jax.tree.map(lambda _: P(), stage_params["resnet"]),
+        "blocks": [_block_specs(axis) for _ in stage_params["blocks"]],
+    }
+
+
+def estimator_partition_specs(est_params: dict, axis: str = "model") -> dict:
+    return {
+        "time_mlp": jax.tree.map(lambda _: P(), est_params["time_mlp"]),
+        "down": _stage_specs(est_params["down"], axis),
+        "down_conv": jax.tree.map(lambda _: P(), est_params["down_conv"]),
+        "mid": [_stage_specs(s, axis) for s in est_params["mid"]],
+        "up": _stage_specs(est_params["up"], axis),
+        "up_conv": jax.tree.map(lambda _: P(), est_params["up_conv"]),
+        "final_block": jax.tree.map(lambda _: P(), est_params["final_block"]),
+        "final_proj": jax.tree.map(lambda _: P(), est_params["final_proj"]),
+    }
+
+
+def tts_partition_tree(params: dict, mesh: Mesh, axis: str = "model") -> Any:
+    """NamedSharding tree for the full TTS param pytree: estimator weights
+    TP-sharded, everything else replicated."""
+    specs = {
+        "encoder": jax.tree.map(lambda _: P(), params["encoder"]),
+        "dp": jax.tree.map(lambda _: P(), params["dp"]),
+        "decoder": estimator_partition_specs(params["decoder"], axis),
+        "spk_embed_affine_layer": jax.tree.map(
+            lambda _: P(), params["spk_embed_affine_layer"]
+        ),
+    }
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
