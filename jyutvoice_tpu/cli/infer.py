@@ -59,7 +59,7 @@ def _load_params(path: str, kind: str, cfg):
     raise ValueError(kind)
 
 
-def main(argv=None):
+def main(argv=None, cfg=None):
     parser = argparse.ArgumentParser(description="JyutVoice-TPU inference")
     parser.add_argument("--text", required=True)
     parser.add_argument("--lang", default="yue",
@@ -89,7 +89,7 @@ def main(argv=None):
     from jyutvoice_tpu.pipeline.prompt import PromptExtractor
     from jyutvoice_tpu.pipeline.synthesize import Synthesizer
 
-    cfg = JyutVoiceConfig()
+    cfg = cfg or JyutVoiceConfig()
     key = jax.random.PRNGKey(args.seed)
     if args.ckpt:
         params_tts = _load_params(args.ckpt, "tts", cfg)

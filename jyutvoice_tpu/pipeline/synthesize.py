@@ -253,6 +253,75 @@ class Synthesizer:
             },
         )
 
+    def synthesize_streaming(
+        self,
+        text: str,
+        lang: str = "yue",
+        phone: Optional[str] = None,
+        spk_embed: Optional[np.ndarray] = None,
+        prompt_feat: Optional[np.ndarray] = None,
+        prompt_h: Optional[np.ndarray] = None,
+        chunk_frames: int = 100,
+        length_scale: float = 1.0,
+    ):
+        """Generator of 24 kHz waveform chunks (chunk_frames*480 samples).
+
+        Text half runs once up front (cheap); the CFM decoder + vocoder
+        stream with overlap caches (pipeline/streaming.py). First chunk
+        latency ~ one chunk decode instead of the whole utterance.
+        """
+        import jax.numpy as jnp
+
+        from jyutvoice_tpu.models import text_encoder as te_mod
+        from jyutvoice_tpu.models.tts import _l2_normalize
+        from jyutvoice_tpu.nn import core
+        from jyutvoice_tpu.pipeline.streaming import StreamingSynthesizer
+
+        (x, tone, word_pos, syllable_pos, lang_ids), n, t_text = (
+            self.prepare_text(text, lang, phone)
+        )
+        if spk_embed is None:
+            spk_raw = jnp.zeros((1, self.cfg.tts.spk_embed_dim), self.dtype)
+        else:
+            spk_raw = jnp.asarray(spk_embed.reshape(1, -1), self.dtype)
+
+        # text encoder + durations + expand -> mu_y for the whole utterance
+        cfg = self.cfg.tts
+        enc = te_mod.apply_text_encoder(
+            self.params_tts["encoder"], cfg.encoder, x, jnp.asarray(n),
+            lang_ids, tone, word_pos, syllable_pos, spk_raw,
+        )
+        from jyutvoice_tpu.models import duration as dur_mod
+
+        logw = dur_mod.apply_duration_predictor(
+            self.params_tts["dp"], cfg.dp, enc.x, enc.x_mask, spk_raw
+        )
+        w_ceil = jnp.ceil(jnp.exp(logw) * enc.x_mask) * length_scale
+        y_len = int(np.maximum(np.asarray(jnp.sum(w_ceil)), 1.0))
+        t_mel = int(np.ceil(y_len / chunk_frames)) * chunk_frames
+        y_mask = core.sequence_mask(
+            jnp.asarray([y_len], jnp.int32), t_mel
+        ).astype(jnp.float32)
+        attn_mask = enc.x_mask[:, :, 0][:, :, None] * y_mask[:, None, :]
+        attn = core.generate_path(w_ceil[:, :, 0], attn_mask)
+        mu_y = np.asarray(jnp.einsum("btm,btf->bmf", attn, enc.mu))[0, :y_len]
+
+        c = _l2_normalize(spk_raw, axis=1)
+        c = np.asarray(core.linear(self.params_tts["spk_embed_affine_layer"], c))[0]
+
+        p_len = 0 if prompt_feat is None else prompt_feat.shape[0]
+        ss = StreamingSynthesizer(
+            self.cfg, self.params_tts, self.params_hift,
+            chunk_frames=chunk_frames, prompt_frames=p_len,
+        )
+        total = 0
+        for chunk in ss.stream(mu_y, c, prompt_feat, prompt_h):
+            emit = min(len(chunk), y_len * 480 - total)
+            if emit <= 0:
+                break
+            yield chunk[:emit]
+            total += emit
+
     def synthesize_batch(
         self,
         items,

@@ -176,3 +176,22 @@ def test_serving_aot_and_export(tmp_path):
     wav2, mel2, lens2 = reloaded(*args)
     np.testing.assert_allclose(np.asarray(wav), np.asarray(wav2), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
+
+
+def test_infer_cli_smoke(tmp_path):
+    """End-to-end CLI: text -> wav file on disk (random weights, tiny cfg)."""
+    import wave
+
+    from jyutvoice_tpu.cli.infer import main
+
+    out = str(tmp_path / "out.wav")
+    main(
+        [
+            "--text", "佢", "--lang", "yue", "--phone", "keoi5",
+            "--output", out, "--n-timesteps", "2",
+        ],
+        cfg=TINY,
+    )
+    with wave.open(out, "rb") as f:
+        assert f.getframerate() == 24000
+        assert f.getnframes() > 0

@@ -60,3 +60,26 @@ def test_stream_with_prompt(setup):
     out = np.concatenate(list(ss.stream(mu_y, spk, prompt_feat, prompt_h)))
     assert out.shape[0] == 60 * 480
     assert np.isfinite(out).all()
+
+
+def test_pipeline_synthesize_streaming(setup):
+    from jyutvoice_tpu.models.hift import init_hift
+    from jyutvoice_tpu.models.tts import init_tts
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    params, params_hift = setup
+    synth = Synthesizer(TINY, params, params_hift)
+    chunks = list(
+        synth.synthesize_streaming(
+            "佢 係邊 個", lang="yue", phone="keoi5 hai6 bin1 go3",
+            chunk_frames=50,
+        )
+    )
+    assert len(chunks) >= 1
+    wav = np.concatenate(chunks)
+    assert wav.shape[0] % 1 == 0 and np.isfinite(wav).all()
+    # matches the non-streamed length for the same text
+    res = synth.synthesize(
+        "佢 係邊 個", lang="yue", phone="keoi5 hai6 bin1 go3", n_timesteps=2
+    )
+    assert wav.shape[0] == res.mel_frames * 480
