@@ -257,3 +257,51 @@ def test_training_losses_parity(ref_tts, params, text_inputs, monkeypatch):
     np.testing.assert_allclose(float(losses.dur_loss), float(dur_ref), rtol=1e-4)
     np.testing.assert_allclose(float(losses.prior_loss), float(prior_ref), rtol=1e-4)
     np.testing.assert_allclose(float(losses.diff_loss), float(diff_ref), rtol=1e-3)
+
+
+def test_synthesise_parity_length_scale(ref_tts, params, text_inputs):
+    """length_scale=0.9 (the reference CLI default): ceil-then-scale produces
+    FRACTIONAL durations consumed by cumsum — the quirk must match exactly
+    (jyutvoice_tts.py:184-196)."""
+    n_steps = 2
+    with torch.no_grad():
+        ref = ref_tts.synthesise(
+            text_inputs["x"],
+            text_inputs["x_lengths"],
+            text_inputs["lang"],
+            text_inputs["tone"],
+            text_inputs["word_pos"],
+            text_inputs["syllable_pos"],
+            text_inputs["spk_embed"],
+            prompt_feat=None,
+            prompt_h=None,
+            n_timesteps=n_steps,
+            length_scale=0.9,
+        )
+    ref_mel = ref["mel"].numpy()
+    t_dyn = ref_mel.shape[2]
+    assert int(ref["mel_lengths"][0]) == t_dyn
+
+    t_mel_max = t_dyn + 17
+    out = synthesize_mel(
+        params,
+        CFG,
+        jnp.asarray(text_inputs["x"].numpy()),
+        jnp.asarray(text_inputs["x_lengths"].numpy()),
+        jnp.asarray(text_inputs["lang"].numpy()),
+        jnp.asarray(text_inputs["tone"].numpy()),
+        jnp.asarray(text_inputs["word_pos"].numpy()),
+        jnp.asarray(text_inputs["syllable_pos"].numpy()),
+        jnp.asarray(text_inputs["spk_embed"].numpy()),
+        jnp.zeros((1, 0, 80), jnp.float32),
+        jnp.zeros((1, 0, 80), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+        t_mel_max=t_mel_max,
+        n_timesteps=n_steps,
+        rand_noise=jnp.asarray(rand_noise()),
+        length_scale=0.9,
+    )
+    assert int(out.mel_lengths[0]) == t_dyn
+    got = np.asarray(out.mel)[0, :t_dyn].T
+    mae = np.abs(got - ref_mel[0]).mean()
+    assert mae < 1e-2, f"mel MAE {mae}"
