@@ -18,7 +18,6 @@ import ctypes
 import logging
 import os
 import subprocess
-import tempfile
 from typing import Optional
 
 import numpy as np

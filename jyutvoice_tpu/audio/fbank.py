@@ -10,7 +10,6 @@ snip_edges, DC-offset removal, preemphasis 0.97, HTK-scale mel banks on a
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 

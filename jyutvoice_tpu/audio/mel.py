@@ -16,7 +16,6 @@ window multiply into the weights. The mel projection is a third matmul.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

@@ -23,7 +23,7 @@ log = logging.getLogger("jyutvoice_tpu.prepare")
 
 
 def process_row(row, extractor, lang_default="yue"):
-    from jyutvoice_tpu.text import intersperse, text_to_sequence
+    from jyutvoice_tpu.text import text_to_sequence
 
     out = dict(row)
     try:

@@ -9,7 +9,7 @@ place; nothing else in the framework talks to devices directly.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

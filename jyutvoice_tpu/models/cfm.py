@@ -14,8 +14,7 @@ TPU-native re-design of the reference CausalConditionalCFM
 
 from __future__ import annotations
 
-import math
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ Timestep embedding: sinusoidal(320, scale 1000) -> silu MLP -> 1024
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+
 
 import jax
 import jax.numpy as jnp

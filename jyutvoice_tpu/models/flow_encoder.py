@@ -12,7 +12,7 @@ Channels-last (B, T, C), static shapes + masks throughout.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

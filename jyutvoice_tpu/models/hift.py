@@ -19,8 +19,7 @@ TPU-first choices:
 from __future__ import annotations
 
 import functools
-import math
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Numerical semantics intentionally match the reference modules they replace
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

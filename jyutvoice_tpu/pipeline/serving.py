@@ -15,8 +15,7 @@ file); use one artifact per (text, mel, prompt, steps) bucket.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

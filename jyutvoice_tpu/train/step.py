@@ -15,8 +15,7 @@ Replaces the reference's Lightning loop (models/baselightningmodule.py:22-305
 
 from __future__ import annotations
 
-import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ a jax PRNG buffer is used (deterministic, but not reference-matching).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 
