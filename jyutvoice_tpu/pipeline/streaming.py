@@ -46,7 +46,6 @@ def hann_crossfade_window(overlap: int) -> np.ndarray:
 class StreamState:
     z_cache: np.ndarray  # (1, P+OVERLAP, 80)
     mu_cache: np.ndarray  # (1, P+OVERLAP, 80)
-    prev_mel_tail: Optional[np.ndarray]  # (OVERLAP, 80) for crossfade
     prev_voc_tail: np.ndarray  # (OVERLAP, 80) vocoder mel context
     hift_source: Optional[np.ndarray]  # (1, OVERLAP*480, 1)
 
@@ -100,7 +99,6 @@ class StreamingSynthesizer:
     def _get_voc_fn(self):
         if self._voc_fn is None:
             hift_cfg = self.cfg.hift
-            seg = OVERLAP + self.chunk
 
             @jax.jit
             def f(params, mel, cache_source):
@@ -138,7 +136,6 @@ class StreamingSynthesizer:
         state = StreamState(
             z_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
             mu_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
-            prev_mel_tail=None,
             prev_voc_tail=np.zeros((OVERLAP, 80), np.float32),
             hift_source=None,
         )
@@ -146,11 +143,15 @@ class StreamingSynthesizer:
             state.z_cache[0, :p] = z_full[:p]
             state.mu_cache[0, :p] = prompt_h[:p]
 
-        first = True
-        pos = 0
+        held: Optional[np.ndarray] = None  # last OVERLAP decoded frames,
+        # not yet emitted: the next chunk RE-generates these positions from
+        # the cached z/mu and the two versions are crossfaded
+        # (reference fade_in_out semantics, utils/common.py:181-191)
+        pos = 0  # next fresh mel position
+        voc_seg = OVERLAP + self.chunk + OVERLAP  # ctx + max emit length
         while pos < t_total:
             n_new = min(self.chunk, t_total - pos)
-            ov = 0 if first else OVERLAP
+            ov = OVERLAP if held is not None else 0
             mu_seg = np.zeros((1, seg, 80), np.float32)
             z_seg = np.tile(z_full[None], (1, 1, 1)).copy()
             cond = np.zeros((1, seg, 80), np.float32)
@@ -159,6 +160,7 @@ class StreamingSynthesizer:
                 z_seg[0, :p] = state.z_cache[0, :p]
                 cond[0, :p] = prompt_feat[:p]
             if ov:
+                # re-generate positions [pos-OVERLAP, pos) from cached z/mu
                 mu_seg[0, p : p + ov] = state.mu_cache[0, p:]
                 z_seg[0, p : p + ov] = state.z_cache[0, p:]
             mu_seg[0, p + ov : p + ov + n_new] = mu_y[pos : pos + n_new]
@@ -175,43 +177,47 @@ class StreamingSynthesizer:
                 )
             )  # (1, seg, 80)
 
-            # update the z/mu overlap cache with the LAST 34 valid frames
+            # update the z/mu overlap cache with the LAST OVERLAP valid frames
             tail_lo = max(n_valid - OVERLAP, 0)
             state.z_cache[0, p:] = z_seg[0, tail_lo : tail_lo + OVERLAP]
             state.mu_cache[0, p:] = mu_seg[0, tail_lo : tail_lo + OVERLAP]
 
-            new_mel = np.array(mel[0, p + ov : p + ov + n_new])
-            if state.prev_mel_tail is not None:
-                # crossfade the first OVERLAP frames with the previous tail
-                k = min(OVERLAP, n_new)
+            out = np.array(mel[0, p : p + ov + n_new])  # regen + fresh
+            if ov:
+                # crossfade the two versions of the SAME positions
                 fade_in = window[:OVERLAP, None]
                 fade_out = window[OVERLAP:, None]
-                new_mel[:k] = (
-                    new_mel[:k] * fade_in[:k]
-                    + state.prev_mel_tail[:k] * fade_out[:k]
-                )
-            state.prev_mel_tail = mel[0, n_valid - OVERLAP : n_valid].copy()
+                out[:ov] = out[:ov] * fade_in + held * fade_out
 
-            # vocode [overlap-context + new] with the sine-source cache
-            voc_in = np.zeros((1, OVERLAP + self.chunk, 80), np.float32)
-            voc_in[0, :OVERLAP] = state.prev_voc_tail
-            voc_in[0, OVERLAP : OVERLAP + n_new] = new_mel
-            cache_src = (
-                jnp.asarray(state.hift_source)
-                if state.hift_source is not None
-                else jnp.zeros((1, OVERLAP * 480, 1), jnp.float32)
-            )
-            wav, src = vocode(self.params_hift, jnp.asarray(voc_in), cache_src)
-            wav = np.asarray(wav)
-            src = np.asarray(src)
-            samples = n_new * 480
-            yield wav[0, OVERLAP * 480 : OVERLAP * 480 + samples]
-            # next call's context = the last OVERLAP mel frames just emitted,
-            # and their already-computed sine source
-            ctx = np.concatenate([state.prev_voc_tail, new_mel[:n_new]], axis=0)
-            state.prev_voc_tail = ctx[-OVERLAP:].copy()
-            src_hi = (OVERLAP + n_new) * 480
-            state.hift_source = src[:, src_hi - OVERLAP * 480 : src_hi].copy()
+            is_last = pos + n_new >= t_total
+            if is_last or ov + n_new <= OVERLAP:
+                emit_mel = out
+                held = None
+            else:
+                emit_mel = out[: ov + n_new - OVERLAP]
+                held = out[ov + n_new - OVERLAP :].copy()
+            l_emit = emit_mel.shape[0]
+
+            if l_emit > 0:
+                # vocode [mel-context | emitted frames] with the source cache
+                voc_in = np.zeros((1, voc_seg, 80), np.float32)
+                voc_in[0, :OVERLAP] = state.prev_voc_tail
+                voc_in[0, OVERLAP : OVERLAP + l_emit] = emit_mel
+                cache_src = (
+                    jnp.asarray(state.hift_source)
+                    if state.hift_source is not None
+                    else jnp.zeros((1, OVERLAP * 480, 1), jnp.float32)
+                )
+                wav, src = vocode(
+                    self.params_hift, jnp.asarray(voc_in), cache_src
+                )
+                wav = np.asarray(wav)
+                src = np.asarray(src)
+                yield wav[0, OVERLAP * 480 : (OVERLAP + l_emit) * 480]
+                ctx = np.concatenate([state.prev_voc_tail, emit_mel], axis=0)
+                state.prev_voc_tail = ctx[-OVERLAP:].copy()
+                state.hift_source = src[
+                    :, l_emit * 480 : (OVERLAP + l_emit) * 480
+                ].copy()
 
             pos += n_new
-            first = False
