@@ -197,3 +197,15 @@ def test_viz_and_tb_logger(tmp_path):
     tb.attn_image("val/attn", rng.random((10, 60)), 1)
     tb.close()
     assert any((tmp_path / "tb").iterdir())
+
+
+def test_multihost_init_noop(monkeypatch):
+    from jyutvoice_tpu.dist import multihost
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert multihost.init_distributed() is False
+
+    mesh, sharding = multihost.global_batch_sharding()
+    assert len(mesh.devices.flatten()) == 8
