@@ -208,3 +208,39 @@ def test_normalize_numbers_mixed():
 
 def test_malformed_decimal_passthrough():
     assert "1.2.3" not in normalize_numbers("$1.2.3")
+
+
+def test_replace_punctuation_languages():
+    from jyutvoice_tpu.text.cleaners import replace_punctuation, text_normalize
+
+    # full-width -> ascii mapping, CJK-only filter for yue/zh
+    assert replace_punctuation("你好，世界！", lang="yue") == "你好,世界!"
+    # latin letters dropped for yue/zh
+    assert replace_punctuation("你好abc，", lang="zh") == "你好,"
+    # en keeps isalpha() + punct, drops spaces — NB: CJK chars are isalpha()
+    # in Python, so they survive (reference cleaners.py:59-66 behavior)
+    assert replace_punctuation("Hello， 你好 world.", lang="en") == "Hello,你好world."
+    # multilingual keeps both
+    assert replace_punctuation("Hi 你好！", lang="multilingual") == "Hi你好!"
+    # brackets/quotes collapse to apostrophe; tilde to dash
+    assert replace_punctuation("《書》~", lang="yue") == "'書'-"
+    assert text_normalize("  你好。 ", lang="yue") == "你好."
+    with pytest.raises(ValueError):
+        replace_punctuation("x", lang="fr")
+
+
+def test_clean_text_rejects_unknown_lang():
+    from jyutvoice_tpu.text.cleaners import clean_text
+
+    with pytest.raises(ValueError):
+        clean_text("hi", lang="de")
+
+
+def test_word_seg_fallback():
+    from jyutvoice_tpu.text.word_seg import word_seg
+
+    # already segmented -> unchanged
+    assert word_seg("你好 世界") == "你好 世界"
+    # unsegmented without pydips -> per-char
+    out = word_seg("你好世界")
+    assert out in ("你好世界", "你 好 世 界") or " " in out
