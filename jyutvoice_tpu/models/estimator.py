@@ -130,11 +130,11 @@ def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
     if ctx["backend"] == "pallas":
         from jyutvoice_tpu.nn.pallas.attention import flash_attention
 
-        b, t, c = x.shape
-        d = c // n_heads
+        b, t, _ = x.shape
         q = attention.split_heads(core.linear(p["q"], x), n_heads)
         k = attention.split_heads(core.linear(p["k"], x), n_heads)
         v = attention.split_heads(core.linear(p["v"], x), n_heads)
+        d = q.shape[-1]  # head dim of the PROJECTED q (inner != input dim)
         lens = jnp.repeat(ctx["lengths"], n_heads)
         out = flash_attention(
             q.reshape(b * n_heads, t, d),

@@ -51,3 +51,39 @@ def test_flash_attention_matches_sdpa(t, lengths, chunk, left):
         np.testing.assert_allclose(
             np.asarray(out)[i, :L], np.asarray(ref)[i, :L], atol=5e-3, rtol=2e-2
         )
+
+
+def test_estimator_pallas_backend_matches_xla(monkeypatch):
+    """Exercise the estimator's pallas attention branch (interpret mode on
+    CPU) against the default XLA path."""
+    import dataclasses
+    import functools
+
+    from jyutvoice_tpu.config import EstimatorConfig
+    from jyutvoice_tpu.models import estimator as est_mod
+    from jyutvoice_tpu.nn.pallas import attention as pal
+
+    cfg_x = EstimatorConfig(n_blocks=1, num_mid_blocks=1, attention_backend="xla")
+    cfg_p = dataclasses.replace(cfg_x, attention_backend="pallas")
+    params = est_mod.init_estimator(jax.random.PRNGKey(0), cfg_x)
+
+    rng = np.random.default_rng(0)
+    b, t = 1, 128  # block-aligned so the pallas branch engages
+    x = jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32)
+    mask = jnp.ones((b, t, 1), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32)
+    tt = jnp.asarray([0.3], jnp.float32)
+    spks = jnp.asarray(rng.standard_normal((b, 80)), jnp.float32)
+    cond = jnp.zeros((b, t, 80), jnp.float32)
+
+    ref = est_mod.apply_estimator(params, cfg_x, x, mask, mu, tt, spks, cond)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    orig = pal.flash_attention
+    monkeypatch.setattr(
+        pal, "flash_attention", functools.partial(orig, interpret=True)
+    )
+    out = est_mod.apply_estimator(params, cfg_p, x, mask, mu, tt, spks, cond)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-3, rtol=2e-2
+    )
