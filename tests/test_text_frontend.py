@@ -244,3 +244,47 @@ def test_word_seg_fallback():
     # unsegmented without pydips -> per-char
     out = word_seg("你好世界")
     assert out in ("你好世界", "你 好 世 界") or " " in out
+
+
+def test_jyutping_roundtrip_exhaustive():
+    """Every valid onset+nucleus+coda+tone combination parses back to its
+    construction. Excluded: syllabic-nasal nuclei (m/n/ng) with a coda and
+    no onset — not valid jyutping; the parser correctly reads those strings
+    as onset + vowel-less forms instead."""
+    onsets = [""] + "b d g gw z p t k kw c m n ng f h s l w j".split()
+    nucleuses = "aa a i yu u oe e eo o m n ng".split()
+    codas = [""] + "p t k m n ng i u".split()
+    checked = 0
+    for o in onsets:
+        for nu in nucleuses:
+            for c in codas:
+                if o == "" and nu in ("m", "n", "ng") and c != "":
+                    continue  # invalid jyutping (ambiguous surface string)
+                syl = f"{o}{nu}{c}3"
+                assert parse_jyutping(syl) == (o, nu, c, "3"), syl
+                checked += 1
+    assert checked > 2000
+
+
+def test_pinyin_roundtrip_initial_finals():
+    """initial+final surface forms split back to (initial, final)."""
+    from jyutvoice_tpu.text.symbols import MANDARIN_FINALS, MANDARIN_INITIALS
+
+    # surface abbreviations expand to the strict final after an initial
+    expands = {"iu": "iou", "ui": "uei", "un": "uen"}
+    # strict-only spellings never appear in full after an initial
+    skipped = {"iou", "uei", "uen"}
+    checked = 0
+    for ini in MANDARIN_INITIALS:
+        for fin in MANDARIN_FINALS:
+            if fin in skipped or fin.startswith("v") or fin == "er":
+                continue
+            if ini in ("j", "q", "x") and fin.startswith("u"):
+                # written u after j/q/x is phonemic v; no iu/ui/un expansion
+                expect = "v" + fin[1:]
+            else:
+                expect = expands.get(fin, fin)
+            got = split_pinyin_syllable(f"{ini}{fin}2")
+            assert got == (ini, expect + "2"), (ini, fin, got)
+            checked += 1
+    assert checked > 500
