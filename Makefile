@@ -9,7 +9,7 @@ test:
 	$(PY) -m pytest tests/ -q
 
 test-fast:
-	$(PY) -m pytest tests/ -q -x -m "not slow" --ignore=tests/test_tts_parity.py
+	$(PY) -m pytest tests/ -q -x -m "not slow"
 
 bench:
 	$(PY) bench.py

@@ -4,6 +4,8 @@ cache behavior, prompt feature extraction fallbacks."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from jyutvoice_tpu.config import (

@@ -4,6 +4,8 @@ checkpoints, data-parallel step over the 8-device CPU mesh."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import optax

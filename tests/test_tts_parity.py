@@ -5,6 +5,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 sys.path.insert(0, "tests")
