@@ -211,6 +211,13 @@ class Synthesizer:
             ph = np.zeros((1, 0, 80), np.float32)
             plen = np.array([0], np.int32)
 
+        if t_prompt + t_mel > self.noise.shape[1]:
+            raise ValueError(
+                f"prompt ({t_prompt}) + mel ({t_mel}) frames exceed the "
+                f"{self.noise.shape[1]}-frame deterministic noise buffer "
+                "(300 s cap, reference flow_matching.py:354); synthesize in "
+                "chunks via synthesize_streaming instead"
+            )
         t1 = time.perf_counter()
         key = (t_text, t_mel, t_prompt, n_timesteps)
         if fused:
