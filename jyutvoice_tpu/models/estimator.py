@@ -117,11 +117,13 @@ def init_transformer_block(key, dim: int, n_heads: int, head_dim: int, ff_mult: 
 
 
 def apply_transformer_block(p, x: Array, attn_ctx: dict, n_heads: int) -> Array:
+    from jyutvoice_tpu.nn.quant import maybe_linear
+
     h = core.layer_norm(p["norm1"], x)
     x = x + _attend(p["attn"], h, attn_ctx, n_heads)
     h = core.layer_norm(p["norm3"], x)
-    h = core.gelu_torch(core.linear(p["ff_in"], h))
-    return x + core.linear(p["ff_out"], h)
+    h = core.gelu_torch(maybe_linear(p["ff_in"], h))
+    return x + maybe_linear(p["ff_out"], h)
 
 
 def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
@@ -130,10 +132,12 @@ def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
     if ctx["backend"] == "pallas":
         from jyutvoice_tpu.nn.pallas.attention import flash_attention
 
+        from jyutvoice_tpu.nn.quant import maybe_linear
+
         b, t, _ = x.shape
-        q = attention.split_heads(core.linear(p["q"], x), n_heads)
-        k = attention.split_heads(core.linear(p["k"], x), n_heads)
-        v = attention.split_heads(core.linear(p["v"], x), n_heads)
+        q = attention.split_heads(maybe_linear(p["q"], x), n_heads)
+        k = attention.split_heads(maybe_linear(p["k"], x), n_heads)
+        v = attention.split_heads(maybe_linear(p["v"], x), n_heads)
         d = q.shape[-1]  # head dim of the PROJECTED q (inner != input dim)
         lens = jnp.repeat(ctx["lengths"], n_heads)
         out = flash_attention(
@@ -145,7 +149,7 @@ def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
             chunk_size=ctx["chunk_size"],
             num_left_chunks=ctx["num_left_chunks"],
         ).reshape(b, n_heads, t, d)
-        return core.linear(p["o"], attention.merge_heads(out))
+        return maybe_linear(p["o"], attention.merge_heads(out))
     return attention.plain_mha(p, x, ctx["bias"], n_heads)
 
 

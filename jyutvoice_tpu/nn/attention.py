@@ -252,8 +252,10 @@ def plain_mha_init(key, query_dim: int, n_heads: int, head_dim: int):
 
 
 def plain_mha(p, x: Array, attn_bias: Optional[Array], n_heads: int) -> Array:
-    q = split_heads(core.linear(p["q"], x), n_heads)
-    k = split_heads(core.linear(p["k"], x), n_heads)
-    v = split_heads(core.linear(p["v"], x), n_heads)
+    from jyutvoice_tpu.nn.quant import maybe_linear
+
+    q = split_heads(maybe_linear(p["q"], x), n_heads)
+    k = split_heads(maybe_linear(p["k"], x), n_heads)
+    v = split_heads(maybe_linear(p["v"], x), n_heads)
     out = sdpa(q, k, v, attn_bias)
-    return core.linear(p["o"], merge_heads(out))
+    return maybe_linear(p["o"], merge_heads(out))

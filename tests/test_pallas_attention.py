@@ -87,3 +87,41 @@ def test_estimator_pallas_backend_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=5e-3, rtol=2e-2
     )
+
+
+def test_int8_quantized_estimator_close_to_f32():
+    """Quantized (int8 matmuls) estimator stays within quantization noise
+    of the f32 path on random weights."""
+    from jyutvoice_tpu.config import EstimatorConfig
+    from jyutvoice_tpu.models import estimator as est_mod
+    from jyutvoice_tpu.nn.quant import quantize_estimator, quantize_linear, linear_q
+    from jyutvoice_tpu.nn import core
+
+    # unit: single linear
+    rng = np.random.default_rng(0)
+    p = {"w": jnp.asarray(rng.standard_normal((64, 32)), jnp.float32),
+         "b": jnp.asarray(rng.standard_normal(32), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((5, 64)), jnp.float32)
+    ref = core.linear(p, x)
+    out = linear_q(quantize_linear(p), x)
+    rel = np.abs(np.asarray(out - ref)).max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.05, rel
+
+    # whole estimator
+    cfg = EstimatorConfig(n_blocks=1, num_mid_blocks=1)
+    params = est_mod.init_estimator(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_estimator(params)
+    b, t = 1, 64
+    args = (
+        jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32),
+        jnp.ones((b, t, 1), jnp.float32),
+        jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32),
+        jnp.asarray([0.3], jnp.float32),
+        jnp.asarray(rng.standard_normal((b, 80)), jnp.float32),
+        jnp.zeros((b, t, 80), jnp.float32),
+    )
+    ref = est_mod.apply_estimator(params, cfg, *args)
+    out = est_mod.apply_estimator(qparams, cfg, *args)
+    err = np.abs(np.asarray(out - ref)).mean()
+    scale = np.abs(np.asarray(ref)).mean()
+    assert err / scale < 0.1, (err, scale)
