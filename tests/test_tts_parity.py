@@ -307,3 +307,51 @@ def test_synthesise_parity_length_scale(ref_tts, params, text_inputs):
     got = np.asarray(out.mel)[0, :t_dyn].T
     mae = np.abs(got - ref_mel[0]).mean()
     assert mae < 1e-2, f"mel MAE {mae}"
+
+
+def test_synthesise_parity_realistic(ref_tts, params):
+    """Realistic scale: 64 tokens, 100-frame prompt, 10 Euler steps,
+    length_scale=0.9 — the full BASELINE criterion run (mel MAE < 1e-2;
+    measured ~2e-6)."""
+    torch.manual_seed(7)
+    b, t = 1, 64
+    ti = {
+        "x": torch.randint(1, 97, (b, t)),
+        "x_lengths": torch.tensor([t]),
+        "lang": torch.randint(0, 4, (b, t)),
+        "tone": torch.randint(0, 7, (b, t)),
+        "word_pos": torch.randint(0, 4, (b, t)),
+        "syllable_pos": torch.randint(0, 4, (b, t)),
+        "spk_embed": torch.randn(b, 192),
+    }
+    t_prompt = 100
+    prompt_feat = torch.randn(1, t_prompt, 80)
+    prompt_h = torch.randn(1, t_prompt, 80)
+
+    with torch.no_grad():
+        ref = ref_tts.synthesise(
+            ti["x"], ti["x_lengths"], ti["lang"], ti["tone"], ti["word_pos"],
+            ti["syllable_pos"], ti["spk_embed"], prompt_feat=prompt_feat,
+            prompt_h=prompt_h, n_timesteps=10, length_scale=0.9,
+        )
+    ref_mel = ref["mel"].numpy()
+    t_dyn = ref_mel.shape[2]
+
+    pf = np.zeros((1, 128, 80), np.float32)
+    ph = np.zeros((1, 128, 80), np.float32)
+    pf[:, :t_prompt] = prompt_feat.numpy()
+    ph[:, :t_prompt] = prompt_h.numpy()
+    out = synthesize_mel(
+        params, CFG,
+        jnp.asarray(ti["x"].numpy()), jnp.asarray(ti["x_lengths"].numpy()),
+        jnp.asarray(ti["lang"].numpy()), jnp.asarray(ti["tone"].numpy()),
+        jnp.asarray(ti["word_pos"].numpy()),
+        jnp.asarray(ti["syllable_pos"].numpy()),
+        jnp.asarray(ti["spk_embed"].numpy()),
+        jnp.asarray(pf), jnp.asarray(ph), jnp.asarray([t_prompt], np.int32),
+        t_mel_max=t_dyn + 40, n_timesteps=10,
+        rand_noise=jnp.asarray(rand_noise()), length_scale=0.9,
+    )
+    assert int(out.mel_lengths[0]) == t_dyn
+    mae = np.abs(np.asarray(out.mel)[0, :t_dyn].T - ref_mel[0]).mean()
+    assert mae < 1e-2, mae
