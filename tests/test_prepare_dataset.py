@@ -1,0 +1,70 @@
+"""Dataset preparation CLI on a synthetic HF dataset (no ONNX models:
+spk_emb falls back to zeros, decoder_h absent — the reference's smoke path)."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+datasets = pytest.importorskip("datasets")
+
+
+def _synth_dataset(tmp_path, n=4):
+    rng = np.random.default_rng(0)
+    rows = {
+        "text": ["佢 好"] * n,
+        "phone": ["keoi5 hou2"] * n,
+        "lang": ["yue"] * n,
+        "audio": [
+            {
+                "array": rng.uniform(-0.3, 0.3, 24000).astype(np.float32),
+                "sampling_rate": 24000,
+            }
+            for _ in range(n)
+        ],
+    }
+    ds = datasets.Dataset.from_dict(rows)
+    path = str(tmp_path / "raw")
+    ds.save_to_disk(path)
+    return path
+
+
+def test_prepare_dataset_cli(tmp_path):
+    from jyutvoice_tpu.cli.prepare_dataset import main
+
+    raw = _synth_dataset(tmp_path)
+    out = str(tmp_path / "prepared")
+    main(["--input", raw, "--output", out, "--lang", "yue"])
+
+    ds = datasets.load_from_disk(out)
+    assert len(ds) == 4
+    row = ds[0]
+    assert row["audio_processed"] is True
+    assert len(row["phone_ids"]) == len(row["tones"]) == len(row["word_pos"])
+    assert len(row["mel"]) == 50  # 1 s -> 50 frames
+    assert len(row["mel"][0]) == 80
+    assert len(row["spk_emb"]) == 192  # zeros fallback without campplus
+
+    # prepared rows feed the datamodule directly
+    from jyutvoice_tpu.train.datamodule import DataConfig, TextMelDataModule
+
+    dm = TextMelDataModule(out, DataConfig(batch_size=2, valid_ratio=0.25))
+    batch = next(iter(dm.train_batches()))
+    assert batch["y"].shape[-1] == 80
+    assert batch["x"].shape[0] == 2
+
+
+def test_prepare_dataset_shard_and_merge(tmp_path):
+    from jyutvoice_tpu.cli.prepare_dataset import main
+
+    raw = _synth_dataset(tmp_path, n=4)
+    shards = []
+    for rank in range(2):
+        out = str(tmp_path / f"shard{rank}")
+        main(["--input", raw, "--output", out, "--lang", "yue",
+              "--rank", str(rank), "--worlds", "2"])
+        shards.append(out)
+    merged = str(tmp_path / "merged")
+    main(["--output", merged, "--merge", *shards])
+    ds = datasets.load_from_disk(merged)
+    assert len(ds) == 4

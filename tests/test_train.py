@@ -211,3 +211,27 @@ def test_multihost_init_noop(monkeypatch):
 
     mesh, sharding = multihost.global_batch_sharding()
     assert len(mesh.devices.flatten()) == 8
+
+
+def test_observability_utils(tmp_path):
+    from jyutvoice_tpu.utils.observability import (
+        StageTimer,
+        log_param_counts,
+        param_count,
+    )
+
+    timer = StageTimer()
+    with timer.stage("mel"):
+        pass
+    with timer.stage("mel"):
+        pass
+    with timer.stage("voc"):
+        pass
+    report = timer.report(audio_seconds=10.0)
+    assert report["mel"]["count"] == 2
+    assert "xrt" in report["voc"]
+
+    params = {"a": {"w": jnp.ones((3, 4))}, "b": {"w": jnp.ones((5,))}}
+    assert param_count(params) == 17
+    counts = log_param_counts(params)
+    assert counts["total"] == 17
