@@ -235,3 +235,30 @@ def test_observability_utils(tmp_path):
     assert param_count(params) == 17
     counts = log_param_counts(params)
     assert counts["total"] == 17
+
+
+def test_checkpoint_with_opt_state(tmp_path, params, batch):
+    """The train CLI saves {params, opt_state, step}: optax multi_transform
+    state (nested namedtuples) must round-trip through orbax."""
+    from jyutvoice_tpu.train import checkpoints as ckpt
+
+    state, tx = init_train_state(params, TINY, TRAIN)
+    step = jax.jit(make_train_step(TINY, TRAIN, tx))
+    state, _ = step(state, jax.random.PRNGKey(1), batch)
+
+    d = str(tmp_path / "ckpts")
+    payload = {"params": state.params, "opt_state": state.opt_state, "step": 1}
+    ckpt.save(d, 1, payload)
+    restored = ckpt.restore(
+        d, template={"params": state.params, "opt_state": state.opt_state,
+                     "step": 0},
+    )
+    for a, b_ in zip(
+        jax.tree.leaves(state.opt_state), jax.tree.leaves(restored["opt_state"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # training continues from the restored state without error
+    state2 = type(state)(restored["params"], restored["opt_state"],
+                         jnp.asarray(restored["step"]))
+    state2, metrics = step(state2, jax.random.PRNGKey(2), batch)
+    assert np.isfinite(float(metrics["loss"]))
