@@ -156,12 +156,17 @@ def apply_text_encoder(
     for i, layer in enumerate(p["layers"]):
         h = h * x_mask
         lrng = jax.random.fold_in(rng, i) if rng is not None else None
-        y = attention.rope_mha(layer["attn"], h, attn_bias, cfg.n_heads)
-        if not deterministic and lrng is not None:
+        train = not deterministic and lrng is not None
+        y = attention.rope_mha(
+            layer["attn"], h, attn_bias, cfg.n_heads,
+            prob_dropout=cfg.p_dropout if train else 0.0,
+            rng=jax.random.fold_in(lrng, 2) if train else None,
+        )
+        if train:
             y = core.dropout(y, cfg.p_dropout, lrng, False)
         h = core.channel_layer_norm(layer["norm1"], h + y)
         y = _apply_ffn(layer["ffn"], h, x_mask)
-        if not deterministic and lrng is not None:
+        if train:
             y = core.dropout(y, cfg.p_dropout, jax.random.fold_in(lrng, 1), False)
         h = core.channel_layer_norm(layer["norm2"], h + y)
     h = h * x_mask

@@ -180,13 +180,17 @@ def compute_losses(
     cond_prob: float = 0.5,
     cond_max_ratio: float = 0.3,
     cfm_overrides: Optional[dict] = None,
+    train_dropout: bool = True,
 ) -> TrainLosses:
     """Training losses (reference jyutvoice_tts.py:255-364).
 
     Fully jittable: MAS uses the on-device wavefront kernel; the prefix
-    teacher-forcing of conds uses the explicit PRNG key.
+    teacher-forcing of conds uses the explicit PRNG key. `train_dropout`
+    enables the reference's training-time dropout (prenet 0.5, encoder/DP
+    0.1 incl. attention probs); parity tests pass False to compare with
+    eval-mode torch modules.
     """
-    k_cond, k_diff = jax.random.split(rng)
+    k_cond, k_diff, k_drop = jax.random.split(rng, 3)
 
     c = _l2_normalize(spk_embed, axis=1)
     c = core.linear(params["spk_embed_affine_layer"], c)
@@ -194,9 +198,13 @@ def compute_losses(
     enc = te_mod.apply_text_encoder(
         params["encoder"], cfg.encoder, x_ids, x_lengths, lang, tone,
         word_pos, syllable_pos, spk_embed,
+        rng=k_drop if train_dropout else None,
+        deterministic=not train_dropout,
     )
     logw = dur_mod.apply_duration_predictor(
-        params["dp"], cfg.dp, enc.x, enc.x_mask, spk_embed
+        params["dp"], cfg.dp, enc.x, enc.x_mask, spk_embed,
+        rng=jax.random.fold_in(k_drop, 99) if train_dropout else None,
+        deterministic=not train_dropout,
     )
 
     b, t_mel, n_feats = y_mel.shape

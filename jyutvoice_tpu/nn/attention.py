@@ -108,11 +108,15 @@ def rope_mha(
     x: Array,
     attn_bias: Optional[Array],
     n_heads: int,
+    *,
+    prob_dropout: float = 0.0,
+    rng: Optional[Array] = None,
 ) -> Array:
     """Self-attention with partial RoPE on q and k.
 
     Rotary width = head_dim // 2 (reference text_encoder.py:203-204 passes
-    k_channels * 0.5).
+    k_channels * 0.5). `prob_dropout` applies dropout to the attention
+    probabilities (reference MultiHeadAttention.drop, text_encoder.py:245).
     """
     b, t, c = x.shape
     head_dim = c // n_heads
@@ -129,7 +133,20 @@ def rope_mha(
     q = apply_rope(q.astype(jnp.float32), cos, sin, d_rope).astype(x.dtype)
     k = apply_rope(k.astype(jnp.float32), cos, sin, d_rope).astype(x.dtype)
     # reference scales by 1/sqrt(k_channels) == 1/sqrt(head_dim)
-    out = sdpa(q, k, v, attn_bias, scale=1.0 / math.sqrt(head_dim))
+    if prob_dropout > 0.0 and rng is not None:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (1.0 / math.sqrt(head_dim))
+        if attn_bias is not None:
+            scores = scores + attn_bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = core.dropout(probs, prob_dropout, rng, False)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+            preferred_element_type=v.dtype,
+        )
+    else:
+        out = sdpa(q, k, v, attn_bias, scale=1.0 / math.sqrt(head_dim))
     # reference merges heads as (b, d, t) view over (h, c) — interleaved the
     # same way as merge_heads on channels-last.
     out = merge_heads(out)

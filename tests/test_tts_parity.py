@@ -252,6 +252,7 @@ def test_training_losses_parity(ref_tts, params, text_inputs, monkeypatch):
             "z_override": jnp.asarray(z_fixed.numpy().transpose(0, 2, 1)),
             "cfg_keep_override": jnp.ones((b,)),
         },
+        train_dropout=False,  # reference modules are in eval mode
     )
     np.testing.assert_array_equal(
         np.asarray(losses.attn), attn_ref.numpy()
