@@ -2,26 +2,32 @@
 
 Measures the steady-state compiled throughput of the flagship path — full
 synthesise graph (text encoder -> durations -> expand -> 10-step CFM Euler
-with CFG) + HiFT vocoder — at the 512-frame mel bucket (10.24 s of audio).
+with CFG) + HiFT vocoder — at the 512-frame mel bucket (10.24 s of audio),
+plus a p50 latency curve over the 128/256/512/1024 buckets.
 
 Prints ONE JSON line:
   {"metric": "synthesis_xrt_24khz", "value": N, "unit": "x_realtime",
    "vs_baseline": N}   — vs_baseline = xRT / 20 (BASELINE.md target:
    >= 20x real-time per TPU v5e core).
+
+Weights: converted checkpoints from pretrained_models_tpu/ when present
+(identical FLOPs either way), otherwise random init — stated in the JSON
+detail for transparency.
 """
 
 import json
-import sys
+import os
 import time
 
 import numpy as np
+
+HEADLINE_BUCKET = 512
+CURVE_BUCKETS = (128, 256, 512, 1024)
 
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: the tunneled TPU platform autotunes
     convolutions for minutes on first compile; cache survives processes."""
-    import os
-
     import jax
 
     cache_dir = os.environ.get(
@@ -32,6 +38,29 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _load_weights(cfg):
+    """(params_tts, params_hift, source_label): converted checkpoints when
+    pretrained_models_tpu/ has them, random init otherwise."""
+    import jax
+
+    from jyutvoice_tpu.models.hift import init_hift
+    from jyutvoice_tpu.models.tts import init_tts
+
+    tts_npz = os.path.join("pretrained_models_tpu", "tts.npz")
+    hift_npz = os.path.join("pretrained_models_tpu", "hift.npz")
+    if os.path.exists(tts_npz) and os.path.exists(hift_npz):
+        from jyutvoice_tpu.weights.provision import load_pytree_npz
+
+        return load_pytree_npz(tts_npz), load_pytree_npz(hift_npz), "converted"
+
+    key = jax.random.PRNGKey(0)
+    return (
+        init_tts(key, cfg.tts),
+        init_hift(jax.random.fold_in(key, 1), cfg.hift),
+        "random-init",
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -40,41 +69,20 @@ def main():
 
     from jyutvoice_tpu.config import JyutVoiceConfig
     from jyutvoice_tpu.models import hift as hift_mod
-    from jyutvoice_tpu.models.hift import init_hift
-    from jyutvoice_tpu.models.tts import init_tts, synthesize_mel
+    from jyutvoice_tpu.models.tts import synthesize_mel
     from jyutvoice_tpu.weights.noise import rand_noise
 
     cfg = JyutVoiceConfig()
-    key = jax.random.PRNGKey(0)
-    params = init_tts(key, cfg.tts)
-    params_hift = init_hift(jax.random.fold_in(key, 1), cfg.hift)
+    params, params_hift, weights_src = _load_weights(cfg)
 
-    t_text, t_mel, t_prompt = 128, 512, 128
+    t_text, t_prompt = 128, 128
     n_steps = 10
     b = 1
     rng = np.random.default_rng(0)
-    noise = jnp.asarray(rand_noise(t_prompt + t_mel))
-
     hift_cfg = cfg.hift
     tts_cfg = cfg.tts
 
-    @jax.jit
-    def mel_fn(params, x, x_lengths, lang, tone, word_pos, syllable_pos, spk,
-               prompt_feat, prompt_h, prompt_lengths):
-        out = synthesize_mel(
-            params, tts_cfg, x, x_lengths, lang, tone, word_pos, syllable_pos,
-            spk, prompt_feat, prompt_h, prompt_lengths,
-            t_mel_max=t_mel, n_timesteps=n_steps, rand_noise=noise,
-        )
-        return out.mel
-
-    @jax.jit
-    def voc_fn(params, mel):
-        wav, _ = hift_mod.hift_inference(params, hift_cfg, mel, deterministic=True)
-        return wav
-
-    args = (
-        params,
+    base_args = (
         jnp.asarray(rng.integers(1, 97, (b, t_text)), jnp.int32),
         jnp.asarray([t_text], jnp.int32),
         jnp.asarray(rng.integers(0, 4, (b, t_text)), jnp.int32),
@@ -87,30 +95,64 @@ def main():
         jnp.asarray([t_prompt], jnp.int32),
     )
 
-    def run_once():
-        mel = mel_fn(*args)
-        return voc_fn(params_hift, mel)
+    def bucket_runner(t_mel: int):
+        noise = jnp.asarray(rand_noise(t_prompt + t_mel))
 
-    # warmup / compile; the scalar readback forces real device completion
-    # (block_until_ready is unreliable over the tunneled TPU runtime)
-    float(jnp.sum(run_once()))
+        @jax.jit
+        def mel_fn(params, x, x_lengths, lang, tone, word_pos, syllable_pos,
+                   spk, prompt_feat, prompt_h, prompt_lengths):
+            out = synthesize_mel(
+                params, tts_cfg, x, x_lengths, lang, tone, word_pos,
+                syllable_pos, spk, prompt_feat, prompt_h, prompt_lengths,
+                t_mel_max=t_mel, n_timesteps=n_steps, rand_noise=noise,
+            )
+            return out.mel
 
-    def timed(iters: int) -> float:
-        t0 = time.perf_counter()
-        wav = None
-        for _ in range(iters):
-            wav = run_once()
-        float(jnp.sum(wav))  # single readback barrier
-        return time.perf_counter() - t0
+        @jax.jit
+        def voc_fn(params, mel):
+            wav, _ = hift_mod.hift_inference(
+                params, hift_cfg, mel, deterministic=True
+            )
+            return wav
 
-    # amortize the tunnel round-trip over many iterations; subtract the
-    # 1-iteration baseline to remove the fixed readback latency
-    t1 = min(timed(1) for _ in range(3))
-    tn = min(timed(21) for _ in range(3))
-    per_iter = max((tn - t1) / 20.0, 1e-6)
+        def run_once():
+            return voc_fn(params_hift, mel_fn(params, *base_args))
 
-    audio_seconds = t_mel * cfg.audio.hop_length / cfg.audio.sample_rate
-    p50 = per_iter
+        return run_once
+
+    def measure(run_once, iters: int, repeats: int) -> float:
+        """p50 per-iteration seconds. The scalar readback forces real device
+        completion (block_until_ready is unreliable over the tunneled TPU
+        runtime); the 1-iteration baseline subtracts the fixed readback RTT.
+        """
+
+        def timed(n: int) -> float:
+            t0 = time.perf_counter()
+            wav = None
+            for _ in range(n):
+                wav = run_once()
+            float(jnp.sum(wav))  # single readback barrier
+            return time.perf_counter() - t0
+
+        t1 = min(timed(1) for _ in range(repeats))
+        tn = min(timed(iters + 1) for _ in range(repeats))
+        return max((tn - t1) / iters, 1e-6)
+
+    hop, sr = cfg.audio.hop_length, cfg.audio.sample_rate
+    curve = {}
+    for t_mel in CURVE_BUCKETS:
+        run_once = bucket_runner(t_mel)
+        float(jnp.sum(run_once()))  # warmup / compile
+        is_headline = t_mel == HEADLINE_BUCKET
+        p50 = measure(
+            run_once,
+            iters=20 if is_headline else 8,
+            repeats=3 if is_headline else 2,
+        )
+        curve[t_mel] = p50
+
+    p50 = curve[HEADLINE_BUCKET]
+    audio_seconds = HEADLINE_BUCKET * hop / sr
     xrt = audio_seconds / p50
     print(
         json.dumps(
@@ -122,8 +164,16 @@ def main():
                 "detail": {
                     "p50_latency_s": round(p50, 4),
                     "audio_seconds": audio_seconds,
-                    "mel_bucket": t_mel,
+                    "mel_bucket": HEADLINE_BUCKET,
                     "n_timesteps": n_steps,
+                    "weights": weights_src,
+                    "bucket_p50_s": {
+                        str(t): round(v, 4) for t, v in curve.items()
+                    },
+                    "bucket_xrt": {
+                        str(t): round(t * hop / sr / v, 1)
+                        for t, v in curve.items()
+                    },
                     "platform": jax.devices()[0].platform,
                     "device": str(jax.devices()[0]),
                 },

@@ -1,0 +1,70 @@
+"""Provisioning CLI — the analog of scripts/download_pretrain_weights.py.
+
+Fetches (when the network allows) and converts the reference CosyVoice2
+artifacts into native .npz pytrees, and assembles the transfer-learning
+starting checkpoint:
+
+  python -m jyutvoice_tpu.cli.provision --download --assemble-pretrain
+  python -m jyutvoice_tpu.cli.provision --flow-pt pretrained_models/flow.pt \
+      --hift-pt pretrained_models/hift.pt --assemble-pretrain
+
+Then start the frozen-decoder fine-tune (reference train.py):
+
+  python -m jyutvoice_tpu.cli.train --dataset <dir> \
+      --pretrain pretrained_models_tpu/tts_init.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+log = logging.getLogger("jyutvoice_tpu.provision")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Convert / download JyutVoice pretrained weights"
+    )
+    parser.add_argument("--flow-pt", default=None, help="CosyVoice2 flow.pt")
+    parser.add_argument("--hift-pt", default=None, help="CosyVoice2 hift.pt")
+    parser.add_argument("--tts-ckpt", default=None,
+                        help="full JyutVoiceTTS torch checkpoint")
+    parser.add_argument("--out-dir", default="pretrained_models_tpu")
+    parser.add_argument("--download", action="store_true",
+                        help="fetch missing artifacts from HuggingFace "
+                             "(skips gracefully offline)")
+    parser.add_argument("--download-dir", default="pretrained_models")
+    parser.add_argument("--assemble-pretrain", action="store_true",
+                        help="also write tts_init.npz: random init + frozen "
+                             "CosyVoice2 decoder (reference pretrain.pt)")
+    parser.add_argument("--seed", type=int, default=42,
+                        help="seed for the random (trainable) half of "
+                             "tts_init.npz")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from jyutvoice_tpu.weights.provision import provision
+
+    written = provision(
+        flow_pt=args.flow_pt,
+        hift_pt=args.hift_pt,
+        tts_ckpt=args.tts_ckpt,
+        out_dir=args.out_dir,
+        assemble_pretrain=args.assemble_pretrain,
+        seed=args.seed,
+        download=args.download,
+        download_dir=args.download_dir,
+    )
+    if not written:
+        log.warning(
+            "nothing provisioned: pass --flow-pt/--hift-pt/--tts-ckpt or "
+            "--download"
+        )
+    for name, path in written.items():
+        log.info("%s -> %s", name, path)
+    return written
+
+
+if __name__ == "__main__":
+    main()

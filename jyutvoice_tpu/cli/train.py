@@ -177,9 +177,11 @@ def main(argv=None):
             for batch in prefetch(dm.train_batches(epoch)):
                 b = batch["x"].shape[0]
                 if b % n_dev != 0:  # pad batch to the mesh size
+                    # repeat row 0 so a final partial batch smaller than
+                    # padb still pads to a multiple of n_dev
                     padb = (n_dev - b % n_dev) % n_dev
                     batch = {
-                        k: np.concatenate([v, v[:padb]], axis=0)
+                        k: np.concatenate([v] + [v[:1]] * padb, axis=0)
                         for k, v in batch.items()
                     }
                 batch = shard_batch(
@@ -225,9 +227,11 @@ def main(argv=None):
                     )
                     from jyutvoice_tpu.train.step import loss_fn
 
-                    _, m = jax.jit(loss_fn, static_argnums=(1, 2))(
+                    # eval mode: dropout off, like the reference's model.eval()
+                    _, m = jax.jit(loss_fn, static_argnums=(1, 2, 5))(
                         state.params, cfg.tts, tr,
                         jax.device_put(jax.random.PRNGKey(0), rep), vbatch,
+                        False,
                     )
                     val_metrics.append({k: float(v) for k, v in m.items()})
                 if val_metrics:

@@ -12,7 +12,7 @@ Channels-last (B, T, C), static shapes + masks throughout.
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -159,3 +159,170 @@ def apply_flow_encoder(
     h = core.layer_norm(p["after_norm"], h, eps=1e-5)
     h = core.linear(p["encoder_proj"], h)
     return h, up_lengths
+
+
+# ---------------------------------------------------------------------------
+# Incremental (KV-cached) streaming forward_chunk
+# ---------------------------------------------------------------------------
+
+
+class FlowEncoderStreamState(NamedTuple):
+    """Fixed-shape streaming state: one compiled graph serves every chunk.
+
+    The reference forward_chunk (upsample_encoder.py:399-514) carries
+    dynamically growing torch.cat KV caches; under jit those change shape
+    each call and recompile, so here keys/values live in pre-allocated
+    (B, H, T_max, D) buffers indexed by `offset`, and the two conv caches
+    are fixed-width rings of exactly the left context each conv needs.
+    """
+
+    offset: Array  # () int32 — tokens already consumed
+    conv2_cache: Array  # (B, 2, d) pre-lookahead conv2 left context
+    enc_kv: List[dict]  # per block {"k","v"}: (B, H, T_max, D)
+    up_conv_cache: Array  # (B, 2*stride, d) repeated-signal left context
+    up_kv: List[dict]  # per up block, capacity stride*T_max
+
+
+def init_stream_state(
+    cfg: FlowEncoderConfig, t_max: int, b: int = 1, dtype=jnp.float32
+) -> FlowEncoderStreamState:
+    """t_max = token capacity (total utterance tokens the state can hold)."""
+    d = cfg.output_size
+    h = cfg.attention_heads
+    dk = d // h
+    s = cfg.upsample_stride
+
+    def kv(cap):
+        return {
+            "k": jnp.zeros((b, h, cap, dk), dtype),
+            "v": jnp.zeros((b, h, cap, dk), dtype),
+        }
+
+    return FlowEncoderStreamState(
+        offset=jnp.zeros((), jnp.int32),
+        conv2_cache=jnp.zeros((b, 2, d), dtype),
+        enc_kv=[kv(t_max) for _ in range(cfg.num_blocks)],
+        up_conv_cache=jnp.zeros((b, 2 * s, d), dtype),
+        up_kv=[kv(s * t_max) for _ in range(cfg.num_up_blocks)],
+    )
+
+
+def _chunk_conformer_stack(
+    layers, h, pos_band, kv_caches, offset, attn_bias, n_heads
+):
+    new_kv = []
+    for layer, cache in zip(layers, kv_caches):
+        res = h
+        y = core.layer_norm(layer["norm_mha"], h, eps=1e-12)
+        y, cache = attention.rel_mha_chunk(
+            layer["attn"], y, pos_band, cache, offset, attn_bias, n_heads
+        )
+        h = res + y
+        res = h
+        y = core.layer_norm(layer["norm_ff"], h, eps=1e-12)
+        y = core.linear(layer["ff"]["w1"], y)
+        y = core.silu(y)
+        y = core.linear(layer["ff"]["w2"], y)
+        h = res + y
+        new_kv.append(cache)
+    return h, new_kv
+
+
+def apply_flow_encoder_chunk(
+    p,
+    cfg: FlowEncoderConfig,
+    tokens: Array,
+    chunk_len: Array,
+    context: Array,
+    context_len: Array,
+    state: FlowEncoderStreamState,
+) -> Tuple[Array, FlowEncoderStreamState]:
+    """One streaming step: (B, c) tokens -> (B, c*stride, 80) hidden frames.
+
+    TPU-native analog of reference forward_chunk
+    (upsample_encoder.py:399-514): same math — lookahead conv fed with the
+    next chunk's first pre_lookahead_len tokens, conv caches across chunk
+    boundaries, full-left-context rel-pos attention — but with static
+    shapes so the whole step jits once and costs O(chunk * T_max).
+
+    tokens: (B, c) current chunk (pad the final partial chunk).
+    chunk_len: () int32 valid tokens in this chunk (== c except the last).
+    context: (B, pre_lookahead_len) the NEXT chunk's first tokens
+      (reference passes `context`); zeros for the final chunk.
+    context_len: () int32 valid context tokens (0 for the final chunk).
+
+    Chained chunks of size cfg.static_chunk_size reproduce
+    apply_flow_encoder(streaming=True) exactly (see parity test).
+    """
+    b, c = tokens.shape
+    d = cfg.output_size
+    s = cfg.upsample_stride
+    pre = cfg.pre_lookahead_len
+    t_max = state.enc_kv[0]["k"].shape[2]
+    offset = state.offset
+
+    valid = (jnp.arange(c) < chunk_len)[None, :, None]  # (1, c, 1)
+    emb = core.embedding(p["input_embedding"], jnp.maximum(tokens, 0))
+    emb = emb * valid.astype(emb.dtype)
+    h = core.linear(p["embed"]["linear"], emb)
+    h = core.layer_norm(p["embed"]["norm"], h, eps=1e-5) * math.sqrt(d)
+    h = h * valid.astype(h.dtype)
+
+    ctx_valid = (jnp.arange(pre) < context_len)[None, :, None]
+    ctx = core.embedding(p["input_embedding"], jnp.maximum(context, 0))
+    ctx = ctx * ctx_valid.astype(ctx.dtype)
+    ctx = core.linear(p["embed"]["linear"], ctx)
+    ctx = core.layer_norm(p["embed"]["norm"], ctx, eps=1e-5) * math.sqrt(d)
+    ctx = ctx * ctx_valid.astype(ctx.dtype)
+
+    # pre-lookahead: conv1 sees [chunk | next-chunk context], conv2 is causal
+    # across chunks via its 2-frame cache (reference upsample_encoder.py:78-137)
+    g = jnp.concatenate([h, ctx], axis=1)  # (B, c+pre, d)
+    g = core.conv1d(p["pre_lookahead"]["conv1"], g, padding="valid")  # (B, c, d)
+    g = core.leaky_relu(g, 0.01)
+    g_ext = jnp.concatenate([state.conv2_cache.astype(g.dtype), g], axis=1)
+    new_conv2_cache = g_ext[:, -2:]
+    g = core.conv1d(p["pre_lookahead"]["conv2"], g_ext, padding="valid")
+    h = g + h
+
+    # token-stage conformers: queries see all cached keys + this chunk
+    pos_band = attention.espnet_rel_pos_emb(t_max, d, dtype=h.dtype)
+    key_ok = jnp.arange(t_max)[None, None, None, :] < (offset + chunk_len)
+    attn_bias = core.mask_to_bias(key_ok)
+    h, enc_kv = _chunk_conformer_stack(
+        p["encoders"], h, pos_band, state.enc_kv, offset, attn_bias,
+        cfg.attention_heads,
+    )
+
+    # upsample conv across chunk boundaries via the repeated-signal cache
+    rep = jnp.repeat(h, s, axis=1)  # (B, c*s, d)
+    ext = jnp.concatenate([state.up_conv_cache.astype(rep.dtype), rep], axis=1)
+    new_up_conv_cache = ext[:, -2 * s :]
+    hu = core.conv1d(p["up_conv"], ext, padding="valid")  # (B, c*s, d)
+
+    hu = core.linear(p["up_embed"]["linear"], hu)
+    hu = core.layer_norm(p["up_embed"]["norm"], hu, eps=1e-5) * math.sqrt(d)
+
+    up_cap = state.up_kv[0]["k"].shape[2]
+    up_offset = offset * s
+    pos_band_up = attention.espnet_rel_pos_emb(up_cap, d, dtype=hu.dtype)
+    key_ok_up = (
+        jnp.arange(up_cap)[None, None, None, :] < (up_offset + chunk_len * s)
+    )
+    attn_bias_up = core.mask_to_bias(key_ok_up)
+    hu, up_kv = _chunk_conformer_stack(
+        p["up_encoders"], hu, pos_band_up, state.up_kv, up_offset,
+        attn_bias_up, cfg.attention_heads,
+    )
+
+    hu = core.layer_norm(p["after_norm"], hu, eps=1e-5)
+    hu = core.linear(p["encoder_proj"], hu)
+
+    new_state = FlowEncoderStreamState(
+        offset=offset + chunk_len.astype(jnp.int32),
+        conv2_cache=new_conv2_cache,
+        enc_kv=enc_kv,
+        up_conv_cache=new_up_conv_cache,
+        up_kv=up_kv,
+    )
+    return hu, new_state

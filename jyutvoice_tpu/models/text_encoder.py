@@ -80,10 +80,19 @@ def init_encoder_layer(key, hidden: int, filter_channels: int, kernel_size: int)
     }
 
 
-def _apply_ffn(p, x: Array, x_mask: Array) -> Array:
-    """conv k -> relu -> conv k, masked (reference text_encoder.py:257-281)."""
+def _apply_ffn(
+    p,
+    x: Array,
+    x_mask: Array,
+    *,
+    p_dropout: float = 0.0,
+    rng: Optional[Array] = None,
+) -> Array:
+    """conv k -> relu -> drop -> conv k, masked (reference text_encoder.py:257-281)."""
     x = core.conv1d(p["conv1"], x * x_mask, padding="same_torch")
     x = jax.nn.relu(x)
+    if rng is not None and p_dropout > 0.0:
+        x = core.dropout(x, p_dropout, rng, False)
     x = core.conv1d(p["conv2"], x * x_mask, padding="same_torch")
     return x * x_mask
 
@@ -165,7 +174,11 @@ def apply_text_encoder(
         if train:
             y = core.dropout(y, cfg.p_dropout, lrng, False)
         h = core.channel_layer_norm(layer["norm1"], h + y)
-        y = _apply_ffn(layer["ffn"], h, x_mask)
+        y = _apply_ffn(
+            layer["ffn"], h, x_mask,
+            p_dropout=cfg.p_dropout if train else 0.0,
+            rng=jax.random.fold_in(lrng, 3) if train else None,
+        )
         if train:
             y = core.dropout(y, cfg.p_dropout, jax.random.fold_in(lrng, 1), False)
         h = core.channel_layer_norm(layer["norm2"], h + y)

@@ -250,6 +250,79 @@ def rel_mha(
     return core.linear(p["o"], merge_heads(out))
 
 
+def rel_mha_chunk(
+    p,
+    x: Array,
+    pos_band: Array,
+    kv_cache: dict,
+    offset: Array,
+    attn_bias: Optional[Array],
+    n_heads: int,
+):
+    """Incremental rel-pos self-attention over a fixed-capacity KV cache.
+
+    The TPU-native form of the reference's streaming attention
+    (transformer/attention.py:186-192 + 298-334): instead of a growing
+    torch.cat KV cache (dynamic shapes — recompiles under jit), keys/values
+    live in a pre-allocated (B, H, T_max, D) buffer written in place with
+    dynamic_update_slice, so every chunk reuses ONE compiled graph and costs
+    O(chunk * T_max).
+
+    x: (B, c, C) the current chunk at absolute positions [offset, offset+c).
+    pos_band: (2*T_max-1, C) rel-pos encodings for distances
+      T_max-1 ... -(T_max-1) (espnet_rel_pos_emb(T_max)).
+    kv_cache: {"k": (B,H,T_max,D), "v": (B,H,T_max,D)}.
+    offset: () int32 — tokens already cached.
+    attn_bias: broadcastable to (B, H, c, T_max); caller masks keys at
+      j >= offset + c.
+    Returns (out (B, c, C), new kv_cache).
+
+    Matrix-bd derivation: with query i at absolute offset+i and key j, the
+    desired relative distance is d = offset+i-j. Band column l of
+    q_v @ pos_band^T encodes d = T_max-1-l, so the (c, T_max) block starts
+    at column T_max-c-offset — one dynamic_slice, then the standard
+    rel_shift gather out[i, j] = band[i, (c-1)-i+j].
+    """
+    b, c_len, ch = x.shape
+    d_k = ch // n_heads
+    t_max = kv_cache["k"].shape[2]
+    q = split_heads(core.linear(p["q"], x), n_heads)  # (B,H,c,D)
+    k_new = split_heads(core.linear(p["k"], x), n_heads)
+    v_new = split_heads(core.linear(p["v"], x), n_heads)
+    zero = jnp.zeros((), offset.dtype)
+    k_all = jax.lax.dynamic_update_slice(
+        kv_cache["k"], k_new.astype(kv_cache["k"].dtype), (zero, zero, offset, zero)
+    )
+    v_all = jax.lax.dynamic_update_slice(
+        kv_cache["v"], v_new.astype(kv_cache["v"].dtype), (zero, zero, offset, zero)
+    )
+
+    pe = core.linear(p["pos"], pos_band[None])  # (1, 2*T_max-1, C)
+    pm = split_heads(pe, n_heads)  # (1, H, 2*T_max-1, D)
+    q_u = q + p["pos_bias_u"][None, :, None, :]
+    q_v = q + p["pos_bias_v"][None, :, None, :]
+    matrix_ac = jnp.einsum(
+        "bhqd,bhkd->bhqk", q_u, k_all, preferred_element_type=jnp.float32
+    )  # (B,H,c,T_max)
+    bd_full = jnp.einsum(
+        "bhqd,bhkd->bhqk", q_v, pm, preferred_element_type=jnp.float32
+    )  # (B,H,c,2*T_max-1)
+    start = t_max - c_len - offset
+    band = jax.lax.dynamic_slice_in_dim(
+        bd_full, start, t_max + c_len - 1, axis=-1
+    )
+    matrix_bd = rel_shift_gather(band, c_len, t_max)
+    scores = (matrix_ac + matrix_bd) / math.sqrt(d_k)
+    if attn_bias is not None:
+        scores = scores + attn_bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v_all.dtype), v_all,
+        preferred_element_type=v_all.dtype,
+    )
+    return core.linear(p["o"], merge_heads(out)), {"k": k_all, "v": v_all}
+
+
 # ---------------------------------------------------------------------------
 # Plain attention (diffusers-style, CFM estimator)
 # ---------------------------------------------------------------------------

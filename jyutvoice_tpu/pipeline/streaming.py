@@ -71,7 +71,6 @@ class StreamingSynthesizer:
         self.params_hift = params_hift
         self.chunk = chunk_frames
         self.p_len = prompt_frames
-        self.noise = rand_noise(self.p_len + OVERLAP + chunk_frames)
         self._decode_fn = None
         self._voc_fn = None
 
@@ -131,7 +130,10 @@ class StreamingSynthesizer:
         if p:
             assert prompt_feat is not None and prompt_h is not None
             assert prompt_feat.shape[0] >= p
-        z_full = self.noise[0]  # (seg, 80)
+        # seed-0 noise indexed by ABSOLUTE frame position (prompt then mel),
+        # matching the non-streaming path (reference flow_matching.py:353-354:
+        # rand_noise[:, :, :T] — position-indexed, not chunk-relative)
+        noise_full = rand_noise(p + t_total)[0]  # (p + T, 80)
 
         state = StreamState(
             z_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
@@ -140,7 +142,7 @@ class StreamingSynthesizer:
             hift_source=None,
         )
         if p:
-            state.z_cache[0, :p] = z_full[:p]
+            state.z_cache[0, :p] = noise_full[:p]
             state.mu_cache[0, :p] = prompt_h[:p]
 
         held: Optional[np.ndarray] = None  # last OVERLAP decoded frames,
@@ -153,7 +155,7 @@ class StreamingSynthesizer:
             n_new = min(self.chunk, t_total - pos)
             ov = OVERLAP if held is not None else 0
             mu_seg = np.zeros((1, seg, 80), np.float32)
-            z_seg = np.tile(z_full[None], (1, 1, 1)).copy()
+            z_seg = np.zeros((1, seg, 80), np.float32)
             cond = np.zeros((1, seg, 80), np.float32)
             if p:
                 mu_seg[0, :p] = state.mu_cache[0, :p]
@@ -164,6 +166,8 @@ class StreamingSynthesizer:
                 mu_seg[0, p : p + ov] = state.mu_cache[0, p:]
                 z_seg[0, p : p + ov] = state.z_cache[0, p:]
             mu_seg[0, p + ov : p + ov + n_new] = mu_y[pos : pos + n_new]
+            # fresh frames draw noise at their ABSOLUTE position
+            z_seg[0, p + ov : p + ov + n_new] = noise_full[p + pos : p + pos + n_new]
             n_valid = p + ov + n_new
 
             mel = np.asarray(

@@ -227,6 +227,10 @@ class Synthesizer:
                 jnp.asarray(ph), jnp.asarray(plen), length_scale=length_scale,
             )
             mel_frames = int(mel_lengths[0])
+            # force the host readback before stamping: on the tunneled axon
+            # platform block_until_ready returns before device execution
+            # completes (CLAUDE.md), so only np.asarray is an honest fence
+            wav = np.asarray(wav)
             t2 = t3 = time.perf_counter()
         else:
             out = self._mel_fn(key)(
@@ -238,7 +242,7 @@ class Synthesizer:
             mel_frames = int(out.mel_lengths[0])
             t2 = time.perf_counter()
             wav = self._voc_fn(t_mel)(self.params_hift, mel)
-            wav.block_until_ready()
+            wav = np.asarray(wav)  # honest fence (see fused path note)
             t3 = time.perf_counter()
 
         num_samples = mel_frames * self.cfg.audio.hop_length

@@ -87,7 +87,8 @@ def init_train_state(params, tts_cfg: TTSConfig, train_cfg: TrainConfig):
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 
-def loss_fn(params, tts_cfg: TTSConfig, train_cfg: TrainConfig, rng, batch):
+def loss_fn(params, tts_cfg: TTSConfig, train_cfg: TrainConfig, rng, batch,
+            train_dropout: bool = True):
     losses = tts_mod.compute_losses(
         params,
         tts_cfg,
@@ -105,6 +106,7 @@ def loss_fn(params, tts_cfg: TTSConfig, train_cfg: TrainConfig, rng, batch):
         diff_loss_weight=train_cfg.diff_loss_weight,
         cond_prob=train_cfg.cond_prob,
         cond_max_ratio=train_cfg.cond_max_ratio,
+        train_dropout=train_dropout,
     )
     metrics = {
         "dur_loss": losses.dur_loss,

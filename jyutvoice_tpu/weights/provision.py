@@ -3,13 +3,20 @@
 TPU-native analog of scripts/download_pretrain_weights.py in the reference:
 given the CosyVoice2 artifacts (flow.pt, hift.pt) it splits the flow
 checkpoint by key prefix into encoder/decoder halves
-(download_pretrain_weights.py:168-215) and converts everything straight to
-jyutvoice_tpu pytrees saved as .npz. Downloads themselves are out of scope
-in this offline environment — pass local paths.
+(download_pretrain_weights.py:168-215), converts everything straight to
+jyutvoice_tpu pytrees saved as .npz, and can assemble the transfer-learning
+starting point `tts_init.npz` — a fresh random TTS tree with the frozen
+CosyVoice2 decoder + speaker affine injected (the reference's pretrain.pt,
+download_pretrain_weights.py:52-101).
+
+Artifacts can be fetched from the reference HuggingFace URLs with
+download=True (download_pretrain_weights.py:219-236); fetch failures skip
+gracefully so the tool stays usable offline with local paths.
 """
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, Optional
 
@@ -18,9 +25,87 @@ import numpy as np
 from jyutvoice_tpu.config import JyutVoiceConfig
 from jyutvoice_tpu.weights import torch_convert as tc
 
+log = logging.getLogger(__name__)
+
 # key prefixes from the reference splitter (download_pretrain_weights.py:182-200)
 FLOW_ENCODER_PREFIXES = ("encoder.", "input_embedding.", "encoder_proj.")
 FLOW_DECODER_PREFIXES = ("decoder.", "spk_embed_affine_layer.")
+
+# the four reference artifacts (download_pretrain_weights.py:219-226)
+ARTIFACT_URLS = {
+    "flow.pt": "https://huggingface.co/lucyknada/CosyVoice2-0.5B/resolve/main/flow.pt",
+    "hift.pt": "https://huggingface.co/lucyknada/CosyVoice2-0.5B/resolve/main/hift.pt",
+    "campplus.onnx": (
+        "https://huggingface.co/FunAudioLLM/CosyVoice2-0.5B/resolve/main/campplus.onnx"
+    ),
+    "speech_tokenizer_v2.onnx": (
+        "https://huggingface.co/FunAudioLLM/CosyVoice2-0.5B/resolve/main/"
+        "speech_tokenizer_v2.onnx"
+    ),
+}
+
+
+def download_artifacts(
+    dest_dir: str,
+    urls: Optional[Dict[str, str]] = None,
+    fetch=None,
+) -> Dict[str, Optional[str]]:
+    """Fetch the reference artifacts into dest_dir; skip gracefully offline.
+
+    Returns {name: local_path_or_None}. Existing files are never re-fetched.
+    `fetch(url, dest)` is injectable for tests; the default uses urllib.
+    """
+    if fetch is None:
+
+        def fetch(url: str, dest: str) -> None:
+            import urllib.request
+
+            with urllib.request.urlopen(url, timeout=30) as r, open(
+                dest, "wb"
+            ) as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+
+    os.makedirs(dest_dir, exist_ok=True)
+    out: Dict[str, Optional[str]] = {}
+    for name, url in (urls or ARTIFACT_URLS).items():
+        dest = os.path.join(dest_dir, name)
+        if os.path.exists(dest):
+            log.info("artifact %s already present", dest)
+            out[name] = dest
+            continue
+        try:
+            fetch(url, dest)
+            out[name] = dest
+            log.info("downloaded %s", name)
+        except Exception as e:  # noqa: BLE001 — offline is a supported mode
+            if os.path.exists(dest):
+                os.remove(dest)  # no truncated artifacts
+            out[name] = None
+            log.warning("could not download %s (%s); skipping", name, e)
+    return out
+
+
+def assemble_pretrain_tree(decoder_tree: dict, cfg: JyutVoiceConfig, seed: int):
+    """Fresh random TTS tree with the converted CosyVoice2 decoder injected.
+
+    The reference builds pretrain.pt as a randomly initialised JyutVoiceTTS
+    state_dict with load_state_dict(flow_decoder, strict=False)
+    (download_pretrain_weights.py:52-101): encoder + duration predictor stay
+    random, decoder + spk_embed_affine_layer take the pretrained values.
+    """
+    import jax
+
+    from jyutvoice_tpu.models.tts import init_tts
+
+    params = init_tts(jax.random.PRNGKey(seed), cfg.tts)
+    params = dict(params)
+    params["decoder"] = decoder_tree["decoder"]
+    params["spk_embed_affine_layer"] = decoder_tree["spk_embed_affine_layer"]
+    return params
 
 
 def split_flow_state_dict(sd: Dict[str, np.ndarray]):
@@ -78,11 +163,30 @@ def provision(
     tts_ckpt: Optional[str] = None,
     out_dir: str = "pretrained_models_tpu",
     cfg: Optional[JyutVoiceConfig] = None,
+    assemble_pretrain: bool = False,
+    seed: int = 42,
+    download: bool = False,
+    download_dir: str = "pretrained_models",
+    fetch=None,
 ) -> Dict[str, str]:
-    """Convert reference torch checkpoints into native .npz pytrees."""
+    """Convert reference torch checkpoints into native .npz pytrees.
+
+    With download=True the reference HF artifacts are fetched first (skipping
+    gracefully offline) and used for any path not given explicitly.  With
+    assemble_pretrain=True also writes tts_init.npz — the transfer-learning
+    start: random init + frozen CosyVoice2 decoder (reference pretrain.pt).
+    """
     cfg = cfg or JyutVoiceConfig()
     os.makedirs(out_dir, exist_ok=True)
     written = {}
+
+    if download:
+        got = download_artifacts(download_dir, fetch=fetch)
+        flow_pt = flow_pt or got.get("flow.pt")
+        hift_pt = hift_pt or got.get("hift.pt")
+        for name in ("campplus.onnx", "speech_tokenizer_v2.onnx"):
+            if got.get(name):
+                written[name] = got[name]
 
     if flow_pt:
         sd = tc.load_torch_state_dict(flow_pt)
@@ -95,16 +199,20 @@ def provision(
             dec_sd, cfg.tts.cfm.estimator, prefix="decoder.estimator."
         )
         path = os.path.join(out_dir, "flow_decoder.npz")
-        save_pytree_npz(
-            path,
-            {
-                "decoder": est,
-                "spk_embed_affine_layer": tc._linear(
-                    dec_sd, "spk_embed_affine_layer"
-                ),
-            },
-        )
+        decoder_tree = {
+            "decoder": est,
+            "spk_embed_affine_layer": tc._linear(
+                dec_sd, "spk_embed_affine_layer"
+            ),
+        }
+        save_pytree_npz(path, decoder_tree)
         written["flow_decoder"] = path
+
+        if assemble_pretrain:
+            tts_init = assemble_pretrain_tree(decoder_tree, cfg, seed)
+            path = os.path.join(out_dir, "tts_init.npz")
+            save_pytree_npz(path, tts_init)
+            written["tts_init"] = path
 
     if hift_pt:
         sd = tc.load_torch_state_dict(hift_pt)
@@ -120,4 +228,9 @@ def provision(
         save_pytree_npz(path, tts)
         written["tts"] = path
 
+    if assemble_pretrain and "tts_init" not in written:
+        raise ValueError(
+            "assemble_pretrain requires flow_pt (or a successful download "
+            "of flow.pt)"
+        )
     return written

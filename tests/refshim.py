@@ -58,11 +58,14 @@ def _permissive_module(name: str) -> types.ModuleType:
 
 
 class LoRACompatibleLinear(nn.Linear):
+    # mirrors diffusers/models/lora.py::LoRACompatibleLinear — identical to
+    # nn.Linear when no LoRA layer is set (the reference never sets one)
     pass
 
 
 class GELU(nn.Module):
-    """diffusers.models.activations.GELU: Linear proj + gelu."""
+    """mirrors diffusers/models/activations.py::GELU: Linear proj + gelu
+    with the `approximate` kwarg forwarded to F.gelu."""
 
     def __init__(self, dim_in, dim_out, approximate="none", bias=True):
         super().__init__()
@@ -74,6 +77,8 @@ class GELU(nn.Module):
 
 
 class GEGLU(nn.Module):
+    # mirrors diffusers/models/activations.py::GEGLU: Linear(dim, 2*dim) then
+    # h * gelu(gate) over the chunked halves
     def __init__(self, dim_in, dim_out, bias=True):
         super().__init__()
         self.proj = nn.Linear(dim_in, dim_out * 2, bias=bias)
@@ -84,6 +89,8 @@ class GEGLU(nn.Module):
 
 
 class ApproximateGELU(nn.Module):
+    # mirrors diffusers/models/activations.py::ApproximateGELU:
+    # x * sigmoid(1.702 * x) after the projection
     def __init__(self, dim_in, dim_out, bias=True):
         super().__init__()
         self.proj = nn.Linear(dim_in, dim_out, bias=bias)
@@ -93,6 +100,8 @@ class ApproximateGELU(nn.Module):
 
 
 class AdaLayerNorm(nn.Module):  # not on the live config path
+    # mirrors diffusers/models/normalization.py::AdaLayerNorm (timestep
+    # embedding -> silu -> linear -> scale/shift around a no-affine LN)
     def __init__(self, embedding_dim, num_embeddings):
         super().__init__()
         self.emb = nn.Embedding(num_embeddings, embedding_dim)
@@ -107,13 +116,16 @@ class AdaLayerNorm(nn.Module):  # not on the live config path
 
 
 class AdaLayerNormZero(nn.Module):  # not on the live config path
+    # constructor-shape-only stub of
+    # diffusers/models/normalization.py::AdaLayerNormZero (never called)
     def __init__(self, embedding_dim, num_embeddings):
         super().__init__()
         self.norm = nn.LayerNorm(embedding_dim, elementwise_affine=False)
 
 
 class Attention(nn.Module):
-    """diffusers.models.attention_processor.Attention, SDPA semantics.
+    """mirrors diffusers/models/attention_processor.py::Attention with the
+    default AttnProcessor2_0 (F.scaled_dot_product_attention) path.
 
     Matches the configuration the reference uses (flow/transformer.py:211-219):
     self-attention, bias-free q/k/v, to_out = [Linear(bias=True), Dropout],
@@ -166,6 +178,7 @@ class Attention(nn.Module):
 
 
 def get_activation(name):
+    # mirrors diffusers/models/activations.py::get_activation name table
     return {
         "silu": nn.SiLU(),
         "swish": nn.SiLU(),
@@ -176,6 +189,8 @@ def get_activation(name):
 
 
 def maybe_allow_in_graph(cls):
+    # mirrors diffusers/utils/torch_utils.py::maybe_allow_in_graph — identity
+    # unless torch.compile tracing is active (never, in these tests)
     return cls
 
 

@@ -74,3 +74,92 @@ def test_provision_flow_roundtrip(tmp_path):
     )
     assert out_arr.shape == (b, t, 80)
     assert np.isfinite(np.asarray(out_arr)).all()
+
+def test_assemble_pretrain(tmp_path):
+    """tts_init.npz = init_tts(seed) with decoder + spk affine injected
+    (reference download_pretrain_weights.py:52-101): decoder leaves equal the
+    converted ones, encoder/dp leaves equal the fresh random init."""
+    from jyutvoice_tpu.models.tts import init_tts
+
+    flow_pt, _ = _make_flow_pt(tmp_path)
+    out = provision.provision(
+        flow_pt=flow_pt, out_dir=str(tmp_path / "npz"),
+        assemble_pretrain=True, seed=7,
+    )
+    assert "tts_init" in out
+    tts = provision.load_pytree_npz(out["tts_init"])
+    assert set(tts) == {"encoder", "dp", "decoder", "spk_embed_affine_layer"}
+
+    dec = provision.load_pytree_npz(out["flow_decoder"])
+    for a, b in zip(jax.tree.leaves(tts["decoder"]), jax.tree.leaves(dec["decoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(tts["spk_embed_affine_layer"]),
+        jax.tree.leaves(dec["spk_embed_affine_layer"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fresh = init_tts(jax.random.PRNGKey(7), CFG.tts)
+    for part in ("encoder", "dp"):
+        for a, b in zip(jax.tree.leaves(tts[part]), jax.tree.leaves(fresh[part])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the injected decoder is NOT the random one
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree.leaves(tts["decoder"]), jax.tree.leaves(fresh["decoder"])
+        )
+    ]
+    assert max(diffs) > 0
+
+
+def test_assemble_pretrain_requires_flow(tmp_path):
+    with pytest.raises(ValueError, match="assemble_pretrain"):
+        provision.provision(
+            out_dir=str(tmp_path / "npz"), assemble_pretrain=True
+        )
+
+
+def test_download_artifacts_mocked(tmp_path):
+    """download_artifacts fetches missing files, keeps existing ones, and
+    skips gracefully (removing partial output) when a fetch fails."""
+    calls = []
+
+    def fake_fetch(url, dest):
+        calls.append(url)
+        if "hift" in url:
+            with open(dest, "wb") as f:
+                f.write(b"partial")
+            raise OSError("network down")
+        with open(dest, "wb") as f:
+            f.write(b"data:" + url.encode())
+
+    dest = tmp_path / "dl"
+    dest.mkdir()
+    (dest / "campplus.onnx").write_bytes(b"already-here")
+
+    got = provision.download_artifacts(str(dest), fetch=fake_fetch)
+    assert got["flow.pt"] and (dest / "flow.pt").read_bytes().startswith(b"data:")
+    assert got["hift.pt"] is None
+    assert not (dest / "hift.pt").exists()  # no truncated artifact left
+    assert got["campplus.onnx"] == str(dest / "campplus.onnx")
+    assert (dest / "campplus.onnx").read_bytes() == b"already-here"  # untouched
+    assert all("campplus" not in u for u in calls)
+
+
+def test_provision_cli_assemble(tmp_path):
+    """End-to-end through the CLI surface: flow.pt -> tts_init.npz that
+    cli/train.py --pretrain can load."""
+    from jyutvoice_tpu.cli.provision import main as provision_main
+
+    flow_pt, _ = _make_flow_pt(tmp_path)
+    written = provision_main([
+        "--flow-pt", flow_pt, "--out-dir", str(tmp_path / "npz"),
+        "--assemble-pretrain", "--seed", "3",
+    ])
+    assert "tts_init" in written
+
+    from jyutvoice_tpu.cli.infer import _load_params
+
+    params = _load_params(written["tts_init"], "tts", CFG)
+    assert set(params) == {"encoder", "dp", "decoder", "spk_embed_affine_layer"}

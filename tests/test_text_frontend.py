@@ -241,9 +241,50 @@ def test_word_seg_fallback():
 
     # already segmented -> unchanged
     assert word_seg("你好 世界") == "你好 世界"
-    # unsegmented without pydips -> per-char
+    # unsegmented without pydips -> lexicon or per-char, never unsegmented
     out = word_seg("你好世界")
-    assert out in ("你好世界", "你 好 世 界") or " " in out
+    assert " " in out
+
+
+def test_word_seg_dict_fallback_recovers_words(caplog):
+    """Without pydips the bundled-lexicon greedy matcher keeps common
+    multi-char words intact (B/E word_pos structure), and the degradation
+    warns loudly exactly once."""
+    import logging
+
+    import jyutvoice_tpu.text.word_seg as ws
+    from jyutvoice_tpu.text import cantonese
+
+    if ws._pydips_model() is not None:
+        pytest.skip("pydips installed: fallback path not active")
+
+    ws._warned = False
+    with caplog.at_level(logging.WARNING, logger="jyutvoice_tpu.text.word_seg"):
+        seg = ws.word_seg("我哋而家食飯")
+    assert seg == "我哋 而家 食飯"
+    assert any("pydips" in r.message for r in caplog.records)
+
+    # warning is one-time
+    with caplog.at_level(logging.WARNING, logger="jyutvoice_tpu.text.word_seg"):
+        n_before = len(caplog.records)
+        ws.word_seg("我哋而家食飯")
+    assert len(caplog.records) == n_before
+
+    # word_pos labels show B/E structure, unlike the per-char collapse
+    _, _, _, word_pos, _, _ = cantonese.g2p(
+        seg, jyutping="ngo5 dei6 ji4 gaa1 sik6 faan6"
+    )
+    assert 2 in word_pos or 3 in word_pos  # non-single-char word labels
+
+
+def test_dict_seg_unmatched_chars_single():
+    from jyutvoice_tpu.text.word_seg import dict_seg
+
+    # chars absent from the lexicon become single-char words
+    out = dict_seg("鑫淼")
+    assert out == "鑫 淼"
+    # mixed: lexicon word + OOV char
+    assert dict_seg("香港鑫") == "香港 鑫"
 
 
 def test_jyutping_roundtrip_exhaustive():
