@@ -115,6 +115,8 @@ class PromptExtractor:
         campplus_onnx: Optional[str] = None,
         tokenizer_onnx: Optional[str] = None,
         token_mel_ratio: int = 2,
+        streaming_encoder: bool = False,
+        streaming_t_max: int = 1024,
     ):
         self.mel = MelSpec()
         self.embedder = CampPlusEmbedder(campplus_onnx)
@@ -122,6 +124,10 @@ class PromptExtractor:
         self.flow_encoder_params = flow_encoder_params
         self.flow_encoder_cfg = flow_encoder_cfg or FlowEncoderConfig()
         self.token_mel_ratio = token_mel_ratio
+        # incremental KV-cached encoding: jits once, O(chunk) per chunk —
+        # use when tokens arrive as a stream or prompts vary wildly in length
+        self.streaming_encoder = streaming_encoder
+        self.streaming_t_max = streaming_t_max
 
     def __call__(self, audio: np.ndarray, sr: int) -> PromptFeatures:
         import jax.numpy as jnp
@@ -133,15 +139,30 @@ class PromptExtractor:
         tokens = self.tokenizer(wav16)
         prompt_h = None
         if tokens is not None and self.flow_encoder_params is not None:
-            from jyutvoice_tpu.models.flow_encoder import apply_flow_encoder
+            if self.streaming_encoder:
+                from jyutvoice_tpu.pipeline.streaming import (
+                    StreamingTokenEncoder,
+                )
 
-            h, h_len = apply_flow_encoder(
-                self.flow_encoder_params,
-                self.flow_encoder_cfg,
-                jnp.asarray(tokens[None]),
-                jnp.asarray([len(tokens)], jnp.int32),
-            )
-            prompt_h = np.asarray(h)[0, : int(h_len[0])]
+                enc = StreamingTokenEncoder(
+                    self.flow_encoder_params, self.flow_encoder_cfg,
+                    t_max_tokens=self.streaming_t_max,
+                )
+                prompt_h = np.concatenate(
+                    [enc.push(tokens), enc.flush()], axis=0
+                )
+            else:
+                from jyutvoice_tpu.models.flow_encoder import (
+                    apply_flow_encoder,
+                )
+
+                h, h_len = apply_flow_encoder(
+                    self.flow_encoder_params,
+                    self.flow_encoder_cfg,
+                    jnp.asarray(tokens[None]),
+                    jnp.asarray([len(tokens)], jnp.int32),
+                )
+                prompt_h = np.asarray(h)[0, : int(h_len[0])]
             # align prompt mel and hidden lengths (token_mel_ratio trim,
             # reference data prep semantics)
             t = min(prompt_feat.shape[0], prompt_h.shape[0])

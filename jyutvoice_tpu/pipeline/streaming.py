@@ -34,6 +34,85 @@ from jyutvoice_tpu.weights.noise import rand_noise
 OVERLAP = 34  # frames carried between chunks (flow_matching.py:203)
 
 
+class StreamingTokenEncoder:
+    """Incremental speech-token -> prompt-hidden encoding (KV-cached).
+
+    Wraps models/flow_encoder.py::apply_flow_encoder_chunk (the TPU-native
+    reference forward_chunk, upsample_encoder.py:399-514) behind a push/flush
+    stream interface: tokens arrive in arbitrary-sized pieces (e.g. from an
+    upstream LLM), whole chunks are encoded as soon as their
+    pre_lookahead context exists, and each step reuses ONE compiled graph
+    and costs O(chunk * T_max) instead of re-running the whole prefix.
+    """
+
+    def __init__(self, params, cfg, t_max_tokens: int, chunk_tokens: int = 0):
+        from jyutvoice_tpu.models.flow_encoder import init_stream_state
+
+        self.params = params
+        self.cfg = cfg
+        self.chunk = chunk_tokens or cfg.static_chunk_size
+        self.t_max = t_max_tokens
+        self.state = init_stream_state(cfg, t_max_tokens)
+        self._buf: list = []  # pending tokens not yet encoded
+        self._consumed = 0
+        self._step = jax.jit(self._raw_step, static_argnums=(1,))
+
+    @staticmethod
+    def _raw_step(params, cfg, tokens, n, ctx, n_ctx, state):
+        from jyutvoice_tpu.models.flow_encoder import apply_flow_encoder_chunk
+
+        return apply_flow_encoder_chunk(
+            params, cfg, tokens, n, ctx, n_ctx, state
+        )
+
+    def _encode(self, toks: np.ndarray, n: int, ctx: np.ndarray, n_ctx: int):
+        c, pre = self.chunk, self.cfg.pre_lookahead_len
+        tok_pad = np.zeros((1, c), np.int32)
+        tok_pad[0, :n] = toks[:n]
+        ctx_pad = np.zeros((1, pre), np.int32)
+        ctx_pad[0, :n_ctx] = ctx[:n_ctx]
+        h, self.state = self._step(
+            self.params, self.cfg,
+            jnp.asarray(tok_pad), jnp.asarray(n, jnp.int32),
+            jnp.asarray(ctx_pad), jnp.asarray(n_ctx, jnp.int32),
+            self.state,
+        )
+        self._consumed += n
+        return np.asarray(h)[0, : n * self.cfg.upsample_stride]
+
+    def push(self, tokens: np.ndarray) -> np.ndarray:
+        """Feed new tokens; returns any newly available hidden frames
+        ((n*stride, 80), possibly empty). A chunk is emitted once its
+        lookahead context (the next chunk's first pre_lookahead_len tokens)
+        has arrived."""
+        self._buf.extend(int(t) for t in np.asarray(tokens).reshape(-1))
+        pre = self.cfg.pre_lookahead_len
+        outs = []
+        while len(self._buf) >= self.chunk + pre:
+            toks = np.asarray(self._buf[: self.chunk], np.int32)
+            ctx = np.asarray(self._buf[self.chunk : self.chunk + pre], np.int32)
+            outs.append(self._encode(toks, self.chunk, ctx, pre))
+            self._buf = self._buf[self.chunk :]
+        if outs:
+            return np.concatenate(outs, axis=0)
+        return np.zeros((0, self.cfg.proj_size), np.float32)
+
+    def flush(self) -> np.ndarray:
+        """End of stream: encode the remaining tokens (zero lookahead at the
+        true end, like the reference's final chunk)."""
+        outs = []
+        while self._buf:
+            n = min(self.chunk, len(self._buf))
+            toks = np.asarray(self._buf[:n], np.int32)
+            rest = self._buf[n : n + self.cfg.pre_lookahead_len]
+            ctx = np.asarray(rest, np.int32) if rest else np.zeros(0, np.int32)
+            outs.append(self._encode(toks, n, ctx, len(rest)))
+            self._buf = self._buf[n:]
+        if outs:
+            return np.concatenate(outs, axis=0)
+        return np.zeros((0, self.cfg.proj_size), np.float32)
+
+
 def hann_crossfade_window(overlap: int) -> np.ndarray:
     """(2*overlap,) hann window; first half fades in, second half fades out."""
     n = 2 * overlap

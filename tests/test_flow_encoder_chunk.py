@@ -129,3 +129,26 @@ def test_chunked_single_compile(params):
         finally:
             logging.getLogger("jax._src.dispatch").removeHandler(h)
     assert n_compiles <= 1, f"chunk fn recompiled: {n_compiles} compiles"
+
+
+def test_streaming_token_encoder_pipeline(params):
+    """pipeline.StreamingTokenEncoder (push in irregular pieces + flush)
+    reproduces the full-sequence streaming forward."""
+    from jyutvoice_tpu.pipeline.streaming import StreamingTokenEncoder
+
+    length = 11
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, CFG.vocab_size, length).astype(np.int32)
+
+    full, _ = apply_flow_encoder(
+        params, CFG, jnp.asarray(tokens[None]),
+        jnp.asarray([length], jnp.int32), streaming=True,
+    )
+    full = np.asarray(full)[0]
+
+    enc = StreamingTokenEncoder(params, CFG, t_max_tokens=12)
+    outs = [enc.push(tokens[:3]), enc.push(tokens[3:4]),
+            enc.push(tokens[4:9]), enc.push(tokens[9:]), enc.flush()]
+    streamed = np.concatenate(outs, axis=0)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, rtol=2e-4, atol=2e-5)
