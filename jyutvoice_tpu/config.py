@@ -90,6 +90,11 @@ class EstimatorConfig:
     # Measured on v5e: XLA wins or ties at synthesis shapes; pallas wins for
     # long chunked (streaming) sequences (scripts/bench_attention.py).
     attention_backend: str = "xla"
+    # "matmul" expresses the k=3 causal convs as shifted matmuls: identical
+    # math, but avoids XLA conv<->matmul layout boundaries that break fusion
+    # when convs interleave with attention at larger batches — 2.7x faster
+    # at batch 6 (2B=12), never slower (scripts/profile_conv_as_matmul.py).
+    conv_backend: str = "matmul"
 
     @property
     def time_embed_dim(self) -> int:

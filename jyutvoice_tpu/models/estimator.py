@@ -73,8 +73,8 @@ def init_causal_block(key, dim: int, dim_out: int):
     }
 
 
-def apply_causal_block(p, x: Array, mask: Array) -> Array:
-    h = core.conv1d(p["conv"], x * mask, padding="causal")
+def apply_causal_block(p, x: Array, mask: Array, conv=core.conv1d) -> Array:
+    h = conv(p["conv"], x * mask, padding="causal")
     h = core.layer_norm(p["norm"], h)
     h = core.mish(h)
     return h * mask
@@ -90,13 +90,16 @@ def init_causal_resnet(key, dim: int, dim_out: int, time_emb_dim: int):
     }
 
 
-def apply_causal_resnet(p, x: Array, mask: Array, t: Array) -> Array:
+def apply_causal_resnet(
+    p, x: Array, mask: Array, t: Array, conv=core.conv1d
+) -> Array:
     """reference decoder.py:98-115 (causal variant 791-795).
     t: (B, time_embed_dim)."""
-    h = apply_causal_block(p["block1"], x, mask)
+    h = apply_causal_block(p["block1"], x, mask, conv)
     h = h + core.linear(p["mlp"], core.mish(t))[:, None, :]
-    h = apply_causal_block(p["block2"], h, mask)
-    return h + core.conv1d(p["res_conv"], x * mask, padding="valid")
+    h = apply_causal_block(p["block2"], h, mask, conv)
+    # res_conv is k=1: conv1d_matmul short-circuits to a plain matmul
+    return h + conv(p["res_conv"], x * mask, padding="valid")
 
 
 # ---------------------------------------------------------------------------
@@ -188,8 +191,11 @@ def init_estimator(key, cfg: EstimatorConfig):
     return params
 
 
-def _stage(p, x: Array, mask: Array, t: Array, attn_ctx: dict, n_heads: int) -> Array:
-    x = apply_causal_resnet(p["resnet"], x, mask, t)
+def _stage(
+    p, x: Array, mask: Array, t: Array, attn_ctx: dict, n_heads: int,
+    conv=core.conv1d,
+) -> Array:
+    x = apply_causal_resnet(p["resnet"], x, mask, t, conv)
     for blk in p["blocks"]:
         x = apply_transformer_block(blk, x, attn_ctx, n_heads)
     return x
@@ -240,14 +246,19 @@ def apply_estimator(
             "bias": core.mask_to_bias(attn_mask)[:, None, :, :],
         }
 
-    h = _stage(p["down"], h, mask, t_emb, attn_ctx, cfg.num_heads)
+    # "matmul" keeps the whole stage in MXU matmul land: avoids the XLA
+    # conv<->matmul layout boundaries that break fusion at larger batches
+    # (2.7x at 2B=12; scripts/profile_conv_as_matmul.py)
+    conv = core.conv1d_matmul if cfg.conv_backend == "matmul" else core.conv1d
+
+    h = _stage(p["down"], h, mask, t_emb, attn_ctx, cfg.num_heads, conv)
     skip = h
-    h = core.conv1d(p["down_conv"], h * mask, padding="causal")
+    h = conv(p["down_conv"], h * mask, padding="causal")
     for mid in p["mid"]:
-        h = _stage(mid, h, mask, t_emb, attn_ctx, cfg.num_heads)
+        h = _stage(mid, h, mask, t_emb, attn_ctx, cfg.num_heads, conv)
     h = jnp.concatenate([h, skip], axis=-1)
-    h = _stage(p["up"], h, mask, t_emb, attn_ctx, cfg.num_heads)
-    h = core.conv1d(p["up_conv"], h * mask, padding="causal")
-    h = apply_causal_block(p["final_block"], h, mask)
-    out = core.conv1d(p["final_proj"], h * mask, padding="valid")
+    h = _stage(p["up"], h, mask, t_emb, attn_ctx, cfg.num_heads, conv)
+    h = conv(p["up_conv"], h * mask, padding="causal")
+    h = apply_causal_block(p["final_block"], h, mask, conv)
+    out = conv(p["final_proj"], h * mask, padding="valid")
     return out * mask

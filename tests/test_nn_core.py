@@ -207,3 +207,30 @@ def test_espnet_rel_pos_emb_matches_torch():
 
 def test_mesh_available():
     assert len(jax.devices()) == 8
+
+
+def test_conv1d_matmul_equivalence():
+    """conv1d_matmul == conv1d for every (k, dilation, padding) the
+    estimator/vocoder use; k=1 short-circuits to a plain matmul."""
+    import jax
+    import jax.numpy as jnp
+
+    from jyutvoice_tpu.nn import core
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 37, 16)), jnp.float32)
+    for k, d, padding in [
+        (1, 1, "valid"),
+        (3, 1, "causal"),
+        (3, 1, "same_torch"),
+        (5, 2, "causal"),
+        (7, 3, "same_torch"),
+        (11, 5, "same_torch"),
+    ]:
+        p = core.conv1d_init(jax.random.PRNGKey(k * 10 + d), 16, 24, k)
+        ref = core.conv1d(x=x, p=p, padding=padding, dilation=d)
+        mm = core.conv1d_matmul(p, x, padding=padding, dilation=d)
+        np.testing.assert_allclose(
+            np.asarray(mm), np.asarray(ref), rtol=1e-5, atol=1e-5,
+            err_msg=f"k={k} d={d} pad={padding}",
+        )
