@@ -184,9 +184,22 @@ class FlowEncoderStreamState(NamedTuple):
 
 
 def init_stream_state(
-    cfg: FlowEncoderConfig, t_max: int, b: int = 1, dtype=jnp.float32
+    cfg: FlowEncoderConfig,
+    t_max: int,
+    b: int = 1,
+    dtype=jnp.float32,
+    chunk: int = 0,
 ) -> FlowEncoderStreamState:
-    """t_max = token capacity (total utterance tokens the state can hold)."""
+    """t_max = token capacity (total utterance tokens the state can hold).
+
+    CAPACITY RULE: every chunk writes its FULL padded width (offset..offset+c)
+    into the KV buffers, so capacity must be a multiple of the chunk size
+    that covers the utterance — otherwise dynamic_update_slice CLAMPS the
+    final partial chunk's write offset and silently corrupts the cache.
+    Pass `chunk` to round t_max up to the next chunk multiple.
+    """
+    if chunk > 0:
+        t_max = ((t_max + chunk - 1) // chunk) * chunk
     d = cfg.output_size
     h = cfg.attention_heads
     dk = d // h

@@ -51,8 +51,9 @@ class StreamingTokenEncoder:
         self.params = params
         self.cfg = cfg
         self.chunk = chunk_tokens or cfg.static_chunk_size
-        self.t_max = t_max_tokens
-        self.state = init_stream_state(cfg, t_max_tokens)
+        # capacity must be a chunk multiple (see init_stream_state docstring)
+        self.t_max = ((t_max_tokens + self.chunk - 1) // self.chunk) * self.chunk
+        self.state = init_stream_state(cfg, self.t_max, chunk=self.chunk)
         self._buf: list = []  # pending tokens not yet encoded
         self._consumed = 0
         self._step = jax.jit(self._raw_step, static_argnums=(1,))

@@ -95,3 +95,99 @@ def test_flow_encoder_parity(ref_fe, params, streaming):
         np.testing.assert_allclose(
             np.asarray(out_h)[i, :L], ref_h.numpy()[i, :L], atol=2e-3, rtol=1e-2
         )
+
+
+def test_forward_chunk_parity_vs_reference(ref_fe, params):
+    """Incremental path vs the reference's own forward_chunk
+    (upsample_encoder.py:399-514): chained 25-token chunks with KV caches,
+    lookahead context, and conv caches, through converted weights."""
+    import jax
+
+    from jyutvoice_tpu.models.flow_encoder import (
+        apply_flow_encoder_chunk,
+        init_stream_state,
+    )
+
+    torch.manual_seed(2)
+    length, chunk, pre = 60, CFG.static_chunk_size, CFG.pre_lookahead_len
+    tokens = torch.randint(0, CFG.vocab_size, (1, length))
+
+    # ---- reference incremental loop ----
+    # NOTE upstream bitrot: upsample_encoder.py:466 unpacks FOUR values from
+    # each encoder layer, but the shipped ConformerEncoderLayer returns FIVE
+    # (encoder_layer.py:319: x, mask, att_cache, cnn_cache, scores) — the
+    # reference's own forward_chunk crashes as shipped. This adapter drops
+    # the cnn_cache (unused: no conv module in this config) to restore the
+    # intended semantics so we can compare against it.
+    class _Layer4(torch.nn.Module):
+        def __init__(self, layer):
+            super().__init__()
+            self.layer = layer
+
+        def forward(self, xs, masks, pos_emb, mask_pad, att_cache):
+            x, m, new_att, _cnn, scores = self.layer(
+                xs, masks, pos_emb, mask_pad, att_cache
+            )
+            return x, m, new_att, scores
+
+    enc = ref_fe.encoder
+    orig_encoders, orig_up = enc.encoders, enc.up_encoders
+    enc.encoders = torch.nn.ModuleList([_Layer4(l) for l in orig_encoders])
+    enc.up_encoders = torch.nn.ModuleList([_Layer4(l) for l in orig_up])
+    h_dim = CFG.output_size
+    n_head = CFG.attention_heads
+    dk2 = (h_dim // n_head) * 2
+    offset, up_offset = 0, 0
+    conv2_cache = torch.zeros(0, 0, 0)
+    enc_kv = torch.zeros(CFG.num_blocks, 1, n_head, 0, dk2)
+    up_conv_cache = torch.zeros(0, 0, 0)
+    up_kv = torch.zeros(CFG.num_up_blocks, 1, n_head, 0, dk2)
+    ref_outs = []
+    with torch.no_grad():
+        pos = 0
+        while pos < length:
+            n = min(chunk, length - pos)
+            xs = ref_fe.input_embedding(tokens[:, pos : pos + n])
+            n_ctx = min(pre, length - (pos + n))
+            if n_ctx > 0:
+                ctx = ref_fe.input_embedding(
+                    tokens[:, pos + n : pos + n + n_ctx]
+                )
+            else:
+                ctx = torch.zeros(0, 0, 0)
+            h, _, (offset, conv2_cache, enc_kv, up_offset, up_conv_cache,
+                   up_kv) = enc.forward_chunk(
+                xs, torch.tensor([n]), offset, ctx, conv2_cache, enc_kv,
+                up_offset, up_conv_cache, up_kv,
+            )
+            ref_outs.append(ref_fe.encoder_proj(h).numpy()[0])
+            pos += n
+    enc.encoders, enc.up_encoders = orig_encoders, orig_up
+    ref_h = np.concatenate(ref_outs, axis=0)
+
+    # ---- our incremental loop ----
+    state = init_stream_state(CFG, length, chunk=chunk)
+    step = jax.jit(apply_flow_encoder_chunk, static_argnums=(1,))
+    outs = []
+    pos = 0
+    tok_np = tokens.numpy().astype(np.int32)
+    while pos < length:
+        n = min(chunk, length - pos)
+        tok_pad = np.zeros((1, chunk), np.int32)
+        tok_pad[0, :n] = tok_np[0, pos : pos + n]
+        n_ctx = min(pre, length - (pos + n))
+        ctx_pad = np.zeros((1, pre), np.int32)
+        if n_ctx > 0:
+            ctx_pad[0, :n_ctx] = tok_np[0, pos + n : pos + n + n_ctx]
+        h, state = step(
+            params, CFG,
+            jnp.asarray(tok_pad), jnp.asarray(n, np.int32),
+            jnp.asarray(ctx_pad), jnp.asarray(n_ctx, np.int32),
+            state,
+        )
+        outs.append(np.asarray(h)[0, : n * CFG.upsample_stride])
+        pos += n
+    out_h = np.concatenate(outs, axis=0)
+
+    assert out_h.shape == ref_h.shape
+    np.testing.assert_allclose(out_h, ref_h, atol=2e-3, rtol=1e-2)
