@@ -76,6 +76,11 @@ def main(argv=None, cfg=None):
     parser.add_argument("--output", default="output.wav")
     parser.add_argument("--n-timesteps", "--n_timesteps", type=int, default=10)
     parser.add_argument("--length-scale", "--length_scale", type=float, default=0.9)
+    parser.add_argument("--stream", action="store_true",
+                        help="chunked streaming synthesis (overlap-cached "
+                             "decoder + vocoder; logs first-chunk latency)")
+    parser.add_argument("--chunk-frames", type=int, default=100,
+                        help="mel frames per streaming chunk (2s audio = 100)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -133,6 +138,41 @@ def main(argv=None, cfg=None):
         text = word_seg(text)
 
     synth = Synthesizer(cfg, params_tts, params_hift)
+    if args.stream:
+        import time
+
+        import numpy as np
+
+        t0 = time.perf_counter()
+        chunks = []
+        for i, chunk in enumerate(
+            synth.synthesize_streaming(
+                text,
+                lang=args.lang,
+                phone=args.phone,
+                spk_embed=spk_embed,
+                prompt_feat=prompt_feat,
+                prompt_h=prompt_h,
+                chunk_frames=args.chunk_frames,
+                length_scale=args.length_scale,
+            )
+        ):
+            if i == 0:
+                log.info(
+                    "first chunk (%.2fs audio) after %.0f ms",
+                    len(chunk) / 24000, (time.perf_counter() - t0) * 1e3,
+                )
+            chunks.append(np.asarray(chunk))
+        wav = np.concatenate(chunks)
+        elapsed = time.perf_counter() - t0
+        save_wav(args.output, wav)
+        log.info(
+            "wrote %s (streamed, %d chunks): %.2fs audio, rtf=%.3f",
+            args.output, len(chunks), len(wav) / 24000,
+            elapsed / max(len(wav) / 24000, 1e-9),
+        )
+        return
+
     result = synth.synthesize(
         text,
         lang=args.lang,

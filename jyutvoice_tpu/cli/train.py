@@ -245,6 +245,14 @@ def main(argv=None):
                         epoch, avg["loss"], avg["dur_loss"], avg["prior_loss"],
                         avg["diff_loss"],
                     )
+                    # top-k by val_loss (reference ModelCheckpoint
+                    # monitor=val_loss save_top_k=10, base.yaml:146-159)
+                    ckpt.save_best(
+                        args.ckpt_dir, global_step,
+                        {"params": state.params, "opt_state": state.opt_state,
+                         "step": global_step},
+                        val_loss=avg["loss"],
+                    )
                 # validation-end sample synthesis + mel/attn images
                 # (reference baselightningmodule.py:206-300); never fatal
                 try:

@@ -51,7 +51,7 @@ def apply_f0_predictor(p, mel: Array) -> Array:
     """mel: (B, T, 80) -> f0 (B, T)."""
     h = mel
     for conv in p["convs"]:
-        h = core.elu(core.conv1d(conv, h, padding="same_torch"))
+        h = core.elu(core.conv1d_auto(conv, h, padding="same_torch"))
     return jnp.abs(core.linear(p["classifier"], h))[..., 0]
 
 
@@ -215,10 +215,10 @@ def apply_resblock(p, x: Array, kernel_size: int, dilations) -> Array:
     ):
         xt = core.snake(x, a1)
         pad = (k * d - d) // 2
-        xt = core.conv1d(c1, xt, padding=(pad, pad), dilation=d)
+        xt = core.conv1d_auto(c1, xt, padding=(pad, pad), dilation=d)
         xt = core.snake(xt, a2)
         pad1 = (k - 1) // 2
-        xt = core.conv1d(c2, xt, padding=(pad1, pad1))
+        xt = core.conv1d_auto(c2, xt, padding=(pad1, pad1))
         x = xt + x
     return x
 
@@ -272,12 +272,12 @@ def apply_resblock_group(branches, x: Array, kernel_sizes, dilations) -> Array:
 
         xt = core.snake(xc, a1)
         pad = (k_max * d - d) // 2
-        xt = core.conv1d(
+        xt = core.conv1d_auto(
             {"w": w1, "b": b1}, xt, padding=(pad, pad), dilation=d, groups=n
         )
         xt = core.snake(xt, a2)
         pad2 = (k_max - 1) // 2
-        xt = core.conv1d({"w": w2, "b": b2}, xt, padding=(pad2, pad2), groups=n)
+        xt = core.conv1d_auto({"w": w2, "b": b2}, xt, padding=(pad2, pad2), groups=n)
         xc = xc + xt
     return jnp.mean(xc.reshape(b, t, n, c), axis=2)
 
@@ -341,7 +341,7 @@ def hift_decode(p, cfg: HiFTConfig, mel: Array, source: Array) -> Array:
     s_re, s_im = small_stft(source[:, :, 0], cfg.istft_n_fft, cfg.istft_hop_len)
     s_stft = jnp.concatenate([s_re, s_im], axis=-1)  # (B, T_s, n_fft+2)
 
-    x = core.conv1d(p["conv_pre"], mel, padding="same_torch")
+    x = core.conv1d_auto(p["conv_pre"], mel, padding="same_torch")
     num_up = len(cfg.upsample_rates)
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i in range(num_up):
@@ -355,10 +355,10 @@ def hift_decode(p, cfg: HiFTConfig, mel: Array, source: Array) -> Array:
         sd = p["source_downs"][i]
         stride = _source_down_strides(cfg)[i]
         if stride == 1:
-            si = core.conv1d(sd["conv"], s_stft, padding="valid")
+            si = core.conv1d_auto(sd["conv"], s_stft, padding="valid")
         else:
             pad = stride // 2
-            si = core.conv1d(sd["conv"], s_stft, stride=stride, padding=(pad, pad))
+            si = core.conv1d_auto(sd["conv"], s_stft, stride=stride, padding=(pad, pad))
         si = apply_resblock(
             p["source_resblocks"][i], si,
             cfg.source_resblock_kernel_sizes[i],
@@ -405,7 +405,7 @@ def hift_decode(p, cfg: HiFTConfig, mel: Array, source: Array) -> Array:
             x = xs / num_kernels
 
     x = core.leaky_relu(x, 0.01)  # default F.leaky_relu slope
-    x = core.conv1d(p["conv_post"], x, padding="same_torch")
+    x = core.conv1d_auto(p["conv_post"], x, padding="same_torch")
     n_bins = cfg.istft_n_fft // 2 + 1
     magnitude = jnp.clip(jnp.exp(x[:, :, :n_bins]), max=1e2)
     phase = jnp.sin(x[:, :, n_bins:])

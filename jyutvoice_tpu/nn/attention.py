@@ -29,23 +29,38 @@ def sdpa(
     v: Array,
     bias: Optional[Array] = None,
     scale: Optional[float] = None,
+    compact_scores: bool = False,
 ) -> Array:
     """Scaled dot-product attention.
 
     q: (B, H, Tq, D), k/v: (B, H, Tk, D), bias: broadcastable to
     (B, H, Tq, Tk) additive (0 keep / -1e10 drop). Returns (B, H, Tq, D).
+
+    compact_scores=True materializes scores/probs in bfloat16 — on TPU this
+    is BIT-IDENTICAL to the f32 path (f32 matmuls already run as bf16 MXU
+    passes, softmax still reduces in f32) while halving the (B,H,Tq,Tk) HBM
+    traffic: 24% faster at 2B=16, T=512 (scripts/profile_round2_experiments
+    .py). Leave False on CPU where f32 matmuls are true f32.
     """
     d = q.shape[-1]
     scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    score_t = jnp.bfloat16 if compact_scores else jnp.float32
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=score_t
+    ) * jnp.asarray(scale, score_t)
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=v.dtype
-    )
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if compact_scores:
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), preferred_element_type=v.dtype,
+        )
+    else:
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+            preferred_element_type=v.dtype,
+        )
     return out
 
 
@@ -341,11 +356,17 @@ def plain_mha_init(key, query_dim: int, n_heads: int, head_dim: int):
     }
 
 
-def plain_mha(p, x: Array, attn_bias: Optional[Array], n_heads: int) -> Array:
+def plain_mha(
+    p,
+    x: Array,
+    attn_bias: Optional[Array],
+    n_heads: int,
+    compact_scores: bool = False,
+) -> Array:
     from jyutvoice_tpu.nn.quant import maybe_linear
 
     q = split_heads(maybe_linear(p["q"], x), n_heads)
     k = split_heads(maybe_linear(p["k"], x), n_heads)
     v = split_heads(maybe_linear(p["v"], x), n_heads)
-    out = sdpa(q, k, v, attn_bias)
+    out = sdpa(q, k, v, attn_bias, compact_scores=compact_scores)
     return maybe_linear(p["o"], merge_heads(out))

@@ -158,6 +158,36 @@ def conv1d(
     return y
 
 
+def conv1d_auto(
+    p: PyTree,
+    x: Array,
+    *,
+    stride: int = 1,
+    padding="same_torch",
+    dilation: int = 1,
+    groups: int = 1,
+) -> Array:
+    """conv1d that lowers small kernels (k <= 3, stride 1, ungrouped) to
+    shifted matmuls (see conv1d_matmul) and falls back to conv1d otherwise.
+    Input traffic scales with k in the matmul form, so big kernels stay as
+    convs; measured net win on the HiFT vocoder (56.0 -> 52.5 ms at b=4,
+    scripts/profile_round2_experiments.py)."""
+    k = p["w"].shape[0]
+    pad_ok = (
+        k == 1
+        or padding in ("causal", "same_torch")
+        or (
+            isinstance(padding, tuple)
+            and padding[0] + padding[1] == (k - 1) * dilation
+        )
+    )
+    if k <= 3 and stride == 1 and groups == 1 and pad_ok:
+        return conv1d_matmul(p, x, padding=padding, dilation=dilation)
+    return conv1d(
+        p, x, stride=stride, padding=padding, dilation=dilation, groups=groups
+    )
+
+
 def conv1d_matmul(
     p: PyTree,
     x: Array,

@@ -120,6 +120,8 @@ def loss_fn(params, tts_cfg: TTSConfig, train_cfg: TrainConfig, rng, batch,
 def make_train_step(tts_cfg: TTSConfig, train_cfg: TrainConfig, tx):
     """Returns a jittable (state, rng, batch) -> (state, metrics) step."""
 
+    sched = warmup_schedule(train_cfg.learning_rate, train_cfg.warmup_steps)
+
     def step(state: TrainState, rng: Array, batch) -> Tuple[TrainState, dict]:
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -127,6 +129,7 @@ def make_train_step(tts_cfg: TTSConfig, train_cfg: TrainConfig, tx):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["lr"] = sched(state.step)  # reference logs lr each step
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step

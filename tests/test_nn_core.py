@@ -226,6 +226,8 @@ def test_conv1d_matmul_equivalence():
         (5, 2, "causal"),
         (7, 3, "same_torch"),
         (11, 5, "same_torch"),
+        (3, 2, (2, 2)),
+        (3, 1, (1, 1)),
     ]:
         p = core.conv1d_init(jax.random.PRNGKey(k * 10 + d), 16, 24, k)
         ref = core.conv1d(x=x, p=p, padding=padding, dilation=d)
@@ -233,4 +235,9 @@ def test_conv1d_matmul_equivalence():
         np.testing.assert_allclose(
             np.asarray(mm), np.asarray(ref), rtol=1e-5, atol=1e-5,
             err_msg=f"k={k} d={d} pad={padding}",
+        )
+        auto = core.conv1d_auto(p, x, padding=padding, dilation=d)
+        np.testing.assert_allclose(
+            np.asarray(auto), np.asarray(ref), rtol=1e-5, atol=1e-5,
+            err_msg=f"auto k={k} d={d} pad={padding}",
         )

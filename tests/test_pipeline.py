@@ -197,3 +197,23 @@ def test_infer_cli_smoke(tmp_path):
     with wave.open(out, "rb") as f:
         assert f.getframerate() == 24000
         assert f.getnframes() > 0
+
+
+def test_infer_cli_stream_smoke(tmp_path):
+    """--stream: chunked synthesis writes a wav of the same length class."""
+    import wave
+
+    from jyutvoice_tpu.cli.infer import main
+
+    out = str(tmp_path / "out_stream.wav")
+    main(
+        [
+            "--text", "佢 係邊 個", "--lang", "yue",
+            "--phone", "keoi5 hai6 bin1 go3",
+            "--output", out, "--stream", "--chunk-frames", "20",
+        ],
+        cfg=TINY,
+    )
+    with wave.open(out, "rb") as f:
+        assert f.getframerate() == 24000
+        assert f.getnframes() > 0

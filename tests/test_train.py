@@ -262,3 +262,29 @@ def test_checkpoint_with_opt_state(tmp_path, params, batch):
                          jnp.asarray(restored["step"]))
     state2, metrics = step(state2, jax.random.PRNGKey(2), batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_best_checkpoint_retention(tmp_path):
+    """save_best keeps the lowest-val_loss checkpoints (reference
+    ModelCheckpoint monitor=val_loss save_top_k, base.yaml:146-159)."""
+    import numpy as np
+
+    from jyutvoice_tpu.train import checkpoints as ckpt
+
+    d = str(tmp_path / "ck")
+    losses = {10: 3.0, 20: 1.5, 30: 2.5, 40: 1.0}
+    for step, loss in losses.items():
+        ckpt.save_best(
+            d, step, {"w": np.full((2,), float(step))}, val_loss=loss,
+            max_to_keep=2,
+        )
+    assert ckpt.best_step(d) == 40  # lowest val_loss
+    restored = ckpt.restore_best(d, template={"w": np.zeros((2,))})
+    np.testing.assert_array_equal(restored["w"], np.full((2,), 40.0))
+    # only the top-2 remain on disk
+    import os
+
+    kept = {
+        int(s) for s in os.listdir(os.path.join(d, "best")) if s.isdigit()
+    }
+    assert kept == {20, 40}
