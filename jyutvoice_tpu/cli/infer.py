@@ -71,6 +71,8 @@ def main(argv=None, cfg=None):
     parser.add_argument("--flow-encoder", "--flow_encoder", default=None)
     parser.add_argument("--campplus-onnx", default=None)
     parser.add_argument("--tokenizer-onnx", default=None)
+    parser.add_argument("--tokenizer-torch", default=None,
+                        help="speech_tokenizer_v2 torch ckpt (native JAX backend)")
     parser.add_argument("--ref-audio", "--ref_audio", default=None,
                         help="voice cloning prompt wav")
     parser.add_argument("--output", default="output.wav")
@@ -119,6 +121,7 @@ def main(argv=None, cfg=None):
             flow_encoder_cfg=cfg.flow_encoder,
             campplus_onnx=args.campplus_onnx,
             tokenizer_onnx=args.tokenizer_onnx,
+        tokenizer_torch=args.tokenizer_torch,
         )
         audio, sr = load_wav(args.ref_audio)
         feats = extractor(audio, sr)

@@ -60,6 +60,8 @@ def main(argv=None):
     parser.add_argument("--flow-encoder", default=None)
     parser.add_argument("--campplus-onnx", default=None)
     parser.add_argument("--tokenizer-onnx", default=None)
+    parser.add_argument("--tokenizer-torch", default=None,
+                        help="speech_tokenizer_v2 torch ckpt (native JAX backend)")
     parser.add_argument("--merge", nargs="*", default=None,
                         help="shard dirs to concatenate instead of preparing")
     args = parser.parse_args(argv)
@@ -89,6 +91,7 @@ def main(argv=None):
         flow_encoder_cfg=cfg.flow_encoder,
         campplus_onnx=args.campplus_onnx,
         tokenizer_onnx=args.tokenizer_onnx,
+        tokenizer_torch=args.tokenizer_torch,
     )
 
     ds = (

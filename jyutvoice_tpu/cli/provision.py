@@ -30,6 +30,10 @@ def main(argv=None):
     parser.add_argument("--hift-pt", default=None, help="CosyVoice2 hift.pt")
     parser.add_argument("--tts-ckpt", default=None,
                         help="full JyutVoiceTTS torch checkpoint")
+    parser.add_argument("--campplus-onnx", default=None,
+                        help="campplus.onnx -> native campplus.npz")
+    parser.add_argument("--tokenizer-torch", default=None,
+                        help="speech_tokenizer_v2 torch ckpt -> s3_tokenizer.npz")
     parser.add_argument("--out-dir", default="pretrained_models_tpu")
     parser.add_argument("--download", action="store_true",
                         help="fetch missing artifacts from HuggingFace "
@@ -50,6 +54,8 @@ def main(argv=None):
         flow_pt=args.flow_pt,
         hift_pt=args.hift_pt,
         tts_ckpt=args.tts_ckpt,
+        campplus_onnx=args.campplus_onnx,
+        tokenizer_torch=args.tokenizer_torch,
         out_dir=args.out_dir,
         assemble_pretrain=args.assemble_pretrain,
         seed=args.seed,

@@ -7,10 +7,13 @@ Re-design of the reference's prompt path (infer.py:329-446):
   speech tokens -> FlowEncoder              -> prompt_h      (2*T_tok, 80)
   ref wav 16k -> kaldi fbank -> campplus    -> spk_embed     (192,)
 
-The two external ONNX models (campplus, speech_tokenizer_v2) run via
-onnxruntime when available (prep-time, host CPU, exactly as in the
-reference); otherwise zero embeddings / no cloning are used so the pipeline
-degrades gracefully in ONNX-free environments.
+The two external ONNX models are re-implemented natively: campplus ->
+models/campplus.py (JAX CAM++, weights pulled from campplus.onnx by the
+dependency-free reader) and speech_tokenizer_v2 -> models/s3_tokenizer.py
+(JAX whisper-encoder + FSQ, weights from a torch checkpoint or
+name-preserving ONNX). onnxruntime remains as an optional fallback
+backend; with neither artifact nor runtime, zero embeddings / no cloning
+are used so the pipeline degrades gracefully.
 """
 
 from __future__ import annotations
@@ -43,21 +46,58 @@ def _ort_session(path: str):
 
 
 class CampPlusEmbedder:
-    """192-d speaker embedding from 16 kHz audio (reference infer.py:148-163)."""
+    """192-d speaker embedding from 16 kHz audio (reference infer.py:148-163).
 
-    def __init__(self, onnx_path: Optional[str] = None):
+    Preferred backend is the native JAX CAM++ (models/campplus.py) with
+    weights extracted straight from campplus.onnx by the dependency-free
+    reader — no onnxruntime needed. `backend`: "auto" (native, then ORT),
+    "jax", "ort", or "none". Converted pytrees can also be injected via
+    `params` (e.g. from an .npz produced at provisioning time).
+    """
+
+    def __init__(
+        self,
+        onnx_path: Optional[str] = None,
+        backend: str = "auto",
+        params: Optional[dict] = None,
+    ):
+        from jyutvoice_tpu.models.campplus import CampPlusConfig
+
         self.session = None
-        if onnx_path:
+        self.params = params
+        self.cfg = CampPlusConfig()
+        if onnx_path and self.params is None and backend in ("auto", "jax"):
+            try:
+                from jyutvoice_tpu.weights.campplus_convert import (
+                    campplus_from_onnx,
+                )
+
+                self.params = campplus_from_onnx(onnx_path, self.cfg)
+                _log.info("campplus: native JAX backend (weights from %s)", onnx_path)
+            except Exception as e:
+                if backend == "jax":
+                    raise
+                _log.warning("campplus native conversion failed: %s", e)
+        if onnx_path and self.params is None and backend in ("auto", "ort"):
             try:
                 self.session = _ort_session(onnx_path)
             except Exception as e:  # pragma: no cover
                 _log.warning("campplus onnx unavailable: %s", e)
 
     def __call__(self, audio16k: np.ndarray) -> np.ndarray:
-        if self.session is None:
+        if self.params is None and self.session is None:
             return np.zeros(192, np.float32)
         feat = kaldi_fbank(audio16k, num_mel_bins=80)
         feat = feat - feat.mean(axis=0, keepdims=True)
+        if self.params is not None:
+            import jax.numpy as jnp
+
+            from jyutvoice_tpu.models.campplus import apply_campplus
+
+            out = apply_campplus(
+                self.params, self.cfg, jnp.asarray(feat[None], jnp.float32)
+            )
+            return np.asarray(out).flatten().astype(np.float32)
         out = self.session.run(
             None, {self.session.get_inputs()[0].name: feat[None].astype(np.float32)}
         )[0]
@@ -65,20 +105,56 @@ class CampPlusEmbedder:
 
 
 class SpeechTokenizer:
-    """whisper-mel -> 6561-vocab speech tokens at 25 Hz (infer.py:98-145)."""
+    """whisper-mel -> 6561-vocab speech tokens at 25 Hz (infer.py:98-145).
 
-    def __init__(self, onnx_path: Optional[str] = None):
+    Preferred backend is the native JAX S3 tokenizer (models/s3_tokenizer.py)
+    with weights from a torch checkpoint (`torch_path`, e.g. the public
+    s3tokenizer speech_tokenizer_v2 weights) or from the ONNX initializers
+    when the export preserved names. onnxruntime is the fallback for the
+    opaque name-mangled export.
+    """
+
+    def __init__(
+        self,
+        onnx_path: Optional[str] = None,
+        torch_path: Optional[str] = None,
+        params: Optional[dict] = None,
+    ):
+        from jyutvoice_tpu.models.s3_tokenizer import S3TokenizerConfig
+
         self.session = None
-        if onnx_path:
+        self.params = params
+        self.cfg = S3TokenizerConfig()
+        if torch_path and self.params is None:
+            from jyutvoice_tpu.weights.s3_convert import s3_from_torch
+
+            self.params = s3_from_torch(torch_path, self.cfg)
+            _log.info("speech tokenizer: native JAX backend (%s)", torch_path)
+        if onnx_path and self.params is None:
             try:
-                self.session = _ort_session(onnx_path)
-            except Exception as e:  # pragma: no cover
-                _log.warning("speech tokenizer onnx unavailable: %s", e)
+                from jyutvoice_tpu.weights.s3_convert import s3_from_onnx
+
+                self.params = s3_from_onnx(onnx_path, self.cfg)
+                _log.info("speech tokenizer: native JAX backend (%s)", onnx_path)
+            except Exception:
+                try:
+                    self.session = _ort_session(onnx_path)
+                except Exception as e:  # pragma: no cover
+                    _log.warning("speech tokenizer onnx unavailable: %s", e)
 
     def __call__(self, audio16k: np.ndarray) -> Optional[np.ndarray]:
-        if self.session is None:
+        if self.params is None and self.session is None:
             return None
         mel = whisper_log_mel(audio16k)  # (128, T)
+        if self.params is not None:
+            import jax.numpy as jnp
+
+            from jyutvoice_tpu.models.s3_tokenizer import apply_s3_tokenizer
+
+            tokens = apply_s3_tokenizer(
+                self.params, self.cfg, jnp.asarray(mel.T[None], jnp.float32)
+            )
+            return np.asarray(tokens).flatten().astype(np.int32)
         inputs = self.session.get_inputs()
         feed = {
             inputs[0].name: mel[None].astype(np.float32),
@@ -114,13 +190,14 @@ class PromptExtractor:
         flow_encoder_cfg: Optional[FlowEncoderConfig] = None,
         campplus_onnx: Optional[str] = None,
         tokenizer_onnx: Optional[str] = None,
+        tokenizer_torch: Optional[str] = None,
         token_mel_ratio: int = 2,
         streaming_encoder: bool = False,
         streaming_t_max: int = 1024,
     ):
         self.mel = MelSpec()
         self.embedder = CampPlusEmbedder(campplus_onnx)
-        self.tokenizer = SpeechTokenizer(tokenizer_onnx)
+        self.tokenizer = SpeechTokenizer(tokenizer_onnx, torch_path=tokenizer_torch)
         self.flow_encoder_params = flow_encoder_params
         self.flow_encoder_cfg = flow_encoder_cfg or FlowEncoderConfig()
         self.token_mel_ratio = token_mel_ratio

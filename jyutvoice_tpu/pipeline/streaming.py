@@ -124,10 +124,10 @@ def hann_crossfade_window(overlap: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class StreamState:
+    """Host-side z/mu overlap cache (the mel/source carries live on-device)."""
+
     z_cache: np.ndarray  # (1, P+OVERLAP, 80)
     mu_cache: np.ndarray  # (1, P+OVERLAP, 80)
-    prev_voc_tail: np.ndarray  # (OVERLAP, 80) vocoder mel context
-    hift_source: Optional[np.ndarray]  # (1, OVERLAP*480, 1)
 
 
 class StreamingSynthesizer:
@@ -145,50 +145,103 @@ class StreamingSynthesizer:
         params_hift,
         chunk_frames: int = 100,  # 2 s of mel (must be a chunk-mask multiple)
         prompt_frames: int = 0,
+        n_timesteps: int = 10,
     ):
         self.cfg = cfg
         self.params_tts = params_tts
         self.params_hift = params_hift
         self.chunk = chunk_frames
         self.p_len = prompt_frames
-        self._decode_fn = None
-        self._voc_fn = None
+        self.n_timesteps = n_timesteps
+        self._step_fn = None
 
-    # -- compiled graphs ----------------------------------------------------
+    # -- compiled graph -------------------------------------------------------
 
-    def _get_decode_fn(self):
-        if self._decode_fn is None:
+    def _get_step_fn(self):
+        """ONE fused decode+crossfade+vocode graph per chunk.
+
+        The unfused loop made two device dispatches per chunk (decode,
+        vocode) each fenced by a host readback; on a tunneled platform the
+        ~28 ms RTT per readback dominated (docs/design.md "Streaming").
+        Fusing the crossfade + vocoder-input assembly on-device leaves one
+        dispatch and one readback (the wav) per chunk. All cross-chunk
+        carries (held frames, vocoder mel tail, HiFT source cache) stay on
+        the device between steps.
+
+        Traced scalars (ov, n_new, l_emit) keep the shapes static so every
+        chunk — first (no held), steady, and final partial — shares one
+        compiled program.
+        """
+        if self._step_fn is None:
             cfg = self.cfg.tts
-            seg = self.p_len + OVERLAP + self.chunk
+            hift_cfg = self.cfg.hift
+            p = self.p_len
+            seg = p + OVERLAP + self.chunk
+            cap = OVERLAP + self.chunk  # max regen+fresh frames per chunk
+            voc_seg = OVERLAP + cap  # mel context + max emit length
+            n_steps = self.n_timesteps
+            window = jnp.asarray(hann_crossfade_window(OVERLAP))
 
             @jax.jit
-            def f(params, z, mu, spks, cond, n_valid):
+            def f(
+                params_tts, params_hift, z, mu, spks, cond,
+                n_valid, ov, n_new, l_emit,
+                held, prev_voc_tail, hift_source,
+            ):
                 mask = (
                     jnp.arange(seg)[None, :, None] < n_valid
                 ).astype(mu.dtype)
-                t_span = cfm_mod.cosine_t_span(10).astype(mu.dtype)
-                return cfm_mod.solve_euler_cfg(
-                    params["decoder"], cfg.cfm, z * mask, t_span, mu * mask,
-                    mask, spks, cond, streaming=True,
+                t_span = cfm_mod.cosine_t_span(n_steps).astype(mu.dtype)
+                mel = cfm_mod.solve_euler_cfg(
+                    params_tts["decoder"], cfg.cfm, z * mask, t_span,
+                    mu * mask, mask, spks, cond, streaming=True,
+                )  # (1, seg, 80)
+                out = mel[0, p:]  # (cap, 80); rows [0, ov+n_new) are valid
+
+                # crossfade the re-generated frames with the held versions
+                # of the SAME positions (reference utils/common.py:181-191)
+                faded = (
+                    out[:OVERLAP] * window[:OVERLAP, None]
+                    + held * window[OVERLAP:, None]
+                )
+                use_fade = (jnp.arange(cap) < ov)[:, None]
+                out = jnp.where(
+                    use_fade,
+                    jnp.pad(faded, ((0, cap - OVERLAP), (0, 0))),
+                    out,
+                )
+                # frames held back for the next crossfade:
+                # out[ov+n_new-OVERLAP : ov+n_new]
+                new_held = jax.lax.dynamic_slice(
+                    out, (jnp.maximum(ov + n_new - OVERLAP, 0), 0),
+                    (OVERLAP, 80),
                 )
 
-            self._decode_fn = f
-        return self._decode_fn
-
-    def _get_voc_fn(self):
-        if self._voc_fn is None:
-            hift_cfg = self.cfg.hift
-
-            @jax.jit
-            def f(params, mel, cache_source):
+                # vocode [mel tail | emitted frames | zeros] with source cache
+                voc_in = jnp.zeros((voc_seg, 80), out.dtype)
+                voc_in = jax.lax.dynamic_update_slice(
+                    voc_in, prev_voc_tail, (0, 0)
+                )
+                voc_in = jax.lax.dynamic_update_slice(voc_in, out, (OVERLAP, 0))
+                emit_mask = (jnp.arange(voc_seg) < OVERLAP + l_emit)[:, None]
+                voc_in = jnp.where(emit_mask, voc_in, 0.0)
                 wav, src = hift_mod.hift_inference(
-                    params, hift_cfg, mel, deterministic=True,
-                    cache_source=cache_source,
+                    params_hift, hift_cfg, voc_in[None], deterministic=True,
+                    cache_source=hift_source,
                 )
-                return wav, src
+                # next chunk's mel context = last OVERLAP of [tail | emit]
+                # = rows [l_emit, l_emit+OVERLAP) of voc_in
+                new_tail = jax.lax.dynamic_slice(voc_in, (l_emit, 0), (OVERLAP, 80))
+                new_src = jax.lax.dynamic_slice(
+                    src, (0, l_emit * 480, 0), (1, OVERLAP * 480, 1)
+                )
+                upd = l_emit > 0
+                new_tail = jnp.where(upd, new_tail, prev_voc_tail)
+                new_src = jnp.where(upd, new_src, hift_source)
+                return wav[0], new_held, new_tail, new_src
 
-            self._voc_fn = f
-        return self._voc_fn
+            self._step_fn = f
+        return self._step_fn
 
     # -- streaming loop -----------------------------------------------------
 
@@ -202,10 +255,7 @@ class StreamingSynthesizer:
         """Yield 24 kHz waveform chunks of `chunk_frames*480` samples."""
         t_total = mu_y.shape[0]
         p = self.p_len
-        seg = p + OVERLAP + self.chunk
-        decode = self._get_decode_fn()
-        vocode = self._get_voc_fn()
-        window = hann_crossfade_window(OVERLAP)
+        step = self._get_step_fn()
 
         if p:
             assert prompt_feat is not None and prompt_h is not None
@@ -215,25 +265,29 @@ class StreamingSynthesizer:
         # rand_noise[:, :, :T] — position-indexed, not chunk-relative)
         noise_full = rand_noise(p + t_total)[0]  # (p + T, 80)
 
+        # host-side z/mu overlap cache (assembled into each segment); the
+        # mel/source carries (held, voc tail, HiFT source) live on-device
         state = StreamState(
             z_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
             mu_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
-            prev_voc_tail=np.zeros((OVERLAP, 80), np.float32),
-            hift_source=None,
         )
         if p:
             state.z_cache[0, :p] = noise_full[:p]
             state.mu_cache[0, :p] = prompt_h[:p]
 
-        held: Optional[np.ndarray] = None  # last OVERLAP decoded frames,
-        # not yet emitted: the next chunk RE-generates these positions from
-        # the cached z/mu and the two versions are crossfaded
-        # (reference fade_in_out semantics, utils/common.py:181-191)
+        spk_dev = jnp.asarray(spk[None])
+        held = jnp.zeros((OVERLAP, 80), jnp.float32)  # device-side carry of
+        # the last OVERLAP decoded frames, not yet emitted: the next chunk
+        # RE-generates these positions from the cached z/mu and the two
+        # versions are crossfaded (reference fade_in_out, utils/common.py:181-191)
+        has_held = False
+        voc_tail = jnp.zeros((OVERLAP, 80), jnp.float32)
+        src_cache = jnp.zeros((1, OVERLAP * 480, 1), jnp.float32)
         pos = 0  # next fresh mel position
-        voc_seg = OVERLAP + self.chunk + OVERLAP  # ctx + max emit length
         while pos < t_total:
             n_new = min(self.chunk, t_total - pos)
-            ov = OVERLAP if held is not None else 0
+            ov = OVERLAP if has_held else 0
+            seg = p + OVERLAP + self.chunk
             mu_seg = np.zeros((1, seg, 80), np.float32)
             z_seg = np.zeros((1, seg, 80), np.float32)
             cond = np.zeros((1, seg, 80), np.float32)
@@ -250,58 +304,34 @@ class StreamingSynthesizer:
             z_seg[0, p + ov : p + ov + n_new] = noise_full[p + pos : p + pos + n_new]
             n_valid = p + ov + n_new
 
-            mel = np.asarray(
-                decode(
-                    self.params_tts,
-                    jnp.asarray(z_seg),
-                    jnp.asarray(mu_seg),
-                    jnp.asarray(spk[None]),
-                    jnp.asarray(cond),
-                    jnp.asarray(n_valid),
-                )
-            )  # (1, seg, 80)
+            is_last = pos + n_new >= t_total
+            if is_last or ov + n_new <= OVERLAP:
+                l_emit = ov + n_new
+                next_held = False
+            else:
+                l_emit = ov + n_new - OVERLAP
+                next_held = True
+
+            wav, held, voc_tail, src_cache = step(
+                self.params_tts, self.params_hift,
+                jnp.asarray(z_seg), jnp.asarray(mu_seg), spk_dev,
+                jnp.asarray(cond),
+                jnp.asarray(n_valid, jnp.int32),
+                jnp.asarray(ov, jnp.int32),
+                jnp.asarray(n_new, jnp.int32),
+                jnp.asarray(l_emit, jnp.int32),
+                held, voc_tail, src_cache,
+            )
+            has_held = next_held
 
             # update the z/mu overlap cache with the LAST OVERLAP valid frames
             tail_lo = max(n_valid - OVERLAP, 0)
             state.z_cache[0, p:] = z_seg[0, tail_lo : tail_lo + OVERLAP]
             state.mu_cache[0, p:] = mu_seg[0, tail_lo : tail_lo + OVERLAP]
 
-            out = np.array(mel[0, p : p + ov + n_new])  # regen + fresh
-            if ov:
-                # crossfade the two versions of the SAME positions
-                fade_in = window[:OVERLAP, None]
-                fade_out = window[OVERLAP:, None]
-                out[:ov] = out[:ov] * fade_in + held * fade_out
-
-            is_last = pos + n_new >= t_total
-            if is_last or ov + n_new <= OVERLAP:
-                emit_mel = out
-                held = None
-            else:
-                emit_mel = out[: ov + n_new - OVERLAP]
-                held = out[ov + n_new - OVERLAP :].copy()
-            l_emit = emit_mel.shape[0]
-
             if l_emit > 0:
-                # vocode [mel-context | emitted frames] with the source cache
-                voc_in = np.zeros((1, voc_seg, 80), np.float32)
-                voc_in[0, :OVERLAP] = state.prev_voc_tail
-                voc_in[0, OVERLAP : OVERLAP + l_emit] = emit_mel
-                cache_src = (
-                    jnp.asarray(state.hift_source)
-                    if state.hift_source is not None
-                    else jnp.zeros((1, OVERLAP * 480, 1), jnp.float32)
-                )
-                wav, src = vocode(
-                    self.params_hift, jnp.asarray(voc_in), cache_src
-                )
+                # the single host readback per chunk
                 wav = np.asarray(wav)
-                src = np.asarray(src)
-                yield wav[0, OVERLAP * 480 : (OVERLAP + l_emit) * 480]
-                ctx = np.concatenate([state.prev_voc_tail, emit_mel], axis=0)
-                state.prev_voc_tail = ctx[-OVERLAP:].copy()
-                state.hift_source = src[
-                    :, l_emit * 480 : (OVERLAP + l_emit) * 480
-                ].copy()
+                yield wav[OVERLAP * 480 : (OVERLAP + l_emit) * 480]
 
             pos += n_new

@@ -161,6 +161,8 @@ def provision(
     flow_pt: Optional[str] = None,
     hift_pt: Optional[str] = None,
     tts_ckpt: Optional[str] = None,
+    campplus_onnx: Optional[str] = None,
+    tokenizer_torch: Optional[str] = None,
     out_dir: str = "pretrained_models_tpu",
     cfg: Optional[JyutVoiceConfig] = None,
     assemble_pretrain: bool = False,
@@ -175,6 +177,8 @@ def provision(
     gracefully offline) and used for any path not given explicitly.  With
     assemble_pretrain=True also writes tts_init.npz — the transfer-learning
     start: random init + frozen CosyVoice2 decoder (reference pretrain.pt).
+    campplus.onnx converts to a native CAM++ pytree (campplus.npz); the
+    speech tokenizer converts from a torch checkpoint (s3_tokenizer.npz).
     """
     cfg = cfg or JyutVoiceConfig()
     os.makedirs(out_dir, exist_ok=True)
@@ -184,6 +188,7 @@ def provision(
         got = download_artifacts(download_dir, fetch=fetch)
         flow_pt = flow_pt or got.get("flow.pt")
         hift_pt = hift_pt or got.get("hift.pt")
+        campplus_onnx = campplus_onnx or got.get("campplus.onnx")
         for name in ("campplus.onnx", "speech_tokenizer_v2.onnx"):
             if got.get(name):
                 written[name] = got[name]
@@ -227,6 +232,26 @@ def provision(
         path = os.path.join(out_dir, "tts.npz")
         save_pytree_npz(path, tts)
         written["tts"] = path
+
+    if campplus_onnx:
+        from jyutvoice_tpu.weights.campplus_convert import campplus_from_onnx
+
+        try:
+            cp = campplus_from_onnx(campplus_onnx)
+            path = os.path.join(out_dir, "campplus.npz")
+            save_pytree_npz(path, cp)
+            written["campplus"] = path
+        except Exception as e:  # noqa: BLE001 — keep provisioning usable
+            log.warning("campplus conversion failed (%s); ORT fallback "
+                        "remains available at inference time", e)
+
+    if tokenizer_torch:
+        from jyutvoice_tpu.weights.s3_convert import s3_from_torch
+
+        s3 = s3_from_torch(tokenizer_torch)
+        path = os.path.join(out_dir, "s3_tokenizer.npz")
+        save_pytree_npz(path, s3)
+        written["s3_tokenizer"] = path
 
     if assemble_pretrain and "tts_init" not in written:
         raise ValueError(

@@ -46,6 +46,10 @@ def _permissive_module(name: str) -> types.ModuleType:
     mod.__path__ = []  # make it a package so submodules resolve
 
     def module_getattr(attr):
+        if attr.startswith("__") and attr.endswith("__"):
+            # inspect/importlib probe __file__/__spec__ etc.; answering with
+            # _AnyObject breaks them (e.g. torch.onnx.export's source lookup)
+            raise AttributeError(attr)
         return _AnyObject()
 
     mod.__getattr__ = module_getattr
