@@ -1,0 +1,188 @@
+"""Dynamic-batching serving engine.
+
+The reference serves strictly batch-1 (synthesise() asserts B==1,
+jyutvoice_tts.py:206-211) and its TensorRT path is single-stream. On TPU the
+economics invert: estimator throughput scales monotonically with batch
+(docs/design.md serving table: 307 -> 337 aggregate xRT from batch 1 to 8),
+so a production server should coalesce concurrent requests into one device
+dispatch. This engine does that:
+
+  * submit() enqueues a request and returns a concurrent.futures.Future;
+  * a worker thread drains the queue, waits up to `max_wait_ms` for
+    stragglers (classic dynamic batching), groups up to `max_batch`
+    requests, and runs ONE bucketed-jit synthesize_batch call;
+  * mixed lengths ride the existing bucket padding + masks, so any group
+    shares a compiled graph (per bucket tuple), and results are sliced back
+    per request.
+
+Throughput/latency knobs: max_batch bounds tail latency under load,
+max_wait_ms bounds added latency when idle (a lone request waits at most
+one window). Stats expose realized batch sizes and per-request wall times.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ServeStats:
+    requests: int = 0
+    batches: int = 0
+    errors: int = 0
+    total_wait_s: float = 0.0  # queue wait (submit -> batch start)
+    total_latency_s: float = 0.0  # submit -> result
+    batch_sizes: Optional[List[int]] = None
+
+    def __post_init__(self):
+        if self.batch_sizes is None:
+            self.batch_sizes = []
+
+    @property
+    def mean_batch(self) -> float:
+        return float(np.mean(self.batch_sizes)) if self.batch_sizes else 0.0
+
+    @property
+    def mean_latency_ms(self) -> float:
+        return (
+            1000.0 * self.total_latency_s / self.requests if self.requests else 0.0
+        )
+
+
+class _Request:
+    __slots__ = ("item", "future", "t_submit")
+
+    def __init__(self, item: dict):
+        self.item = item
+        self.future: Future = Future()
+        self.t_submit = time.perf_counter()
+
+
+class ServingEngine:
+    """Coalesces concurrent synthesis requests into batched device calls.
+
+    n_timesteps/length_scale are engine-level (one compiled graph family);
+    run separate engines for different sampling settings.
+    """
+
+    def __init__(
+        self,
+        synthesizer,
+        max_batch: int = 8,
+        max_wait_ms: float = 20.0,
+        n_timesteps: int = 10,
+        length_scale: float = 1.0,
+    ):
+        self.synth = synthesizer
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.n_timesteps = n_timesteps
+        self.length_scale = length_scale
+        self.stats = ServeStats()
+        self._q: "queue.SimpleQueue[_Request]" = queue.SimpleQueue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(
+            target=self._run, name="jyutvoice-serving", daemon=True
+        )
+        self._worker.start()
+
+    # -- client API ----------------------------------------------------------
+
+    def submit(
+        self,
+        text: str,
+        lang: str = "yue",
+        phone: Optional[str] = None,
+        spk_embed: Optional[np.ndarray] = None,
+        prompt_feat: Optional[np.ndarray] = None,
+        prompt_h: Optional[np.ndarray] = None,
+    ) -> Future:
+        """Enqueue one utterance; the Future resolves to a SynthesisResult."""
+        if self._stop.is_set():
+            raise RuntimeError("engine is closed")
+        req = _Request(
+            {
+                "text": text,
+                "lang": lang,
+                "phone": phone,
+                "spk_embed": spk_embed,
+                "prompt_feat": prompt_feat,
+                "prompt_h": prompt_h,
+            }
+        )
+        self._q.put(req)
+        return req.future
+
+    def synthesize(self, *args, **kwargs):
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(*args, **kwargs).result()
+
+    def close(self, timeout: float = 30.0) -> None:
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker --------------------------------------------------------------
+
+    def _collect(self) -> List[_Request]:
+        """Block for the first request, then batch stragglers for one window."""
+        first = self._q.get()
+        if first is None:
+            return []
+        group = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(group) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                req = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                self._q.put(None)  # re-signal shutdown after this batch
+                break
+            group.append(req)
+        return group
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            group = self._collect()
+            if not group:
+                continue
+            t_start = time.perf_counter()
+            for req in group:
+                self.stats.total_wait_s += t_start - req.t_submit
+            try:
+                results = self.synth.synthesize_batch(
+                    [r.item for r in group],
+                    n_timesteps=self.n_timesteps,
+                    length_scale=self.length_scale,
+                )
+            except Exception as e:  # noqa: BLE001 — propagate per-request
+                for req in group:
+                    if not req.future.cancelled():
+                        req.future.set_exception(e)
+                self.stats.errors += len(group)
+                continue
+            t_end = time.perf_counter()
+            self.stats.batches += 1
+            self.stats.batch_sizes.append(len(group))
+            for req, res in zip(group, results):
+                self.stats.requests += 1
+                self.stats.total_latency_s += t_end - req.t_submit
+                if not req.future.cancelled():
+                    req.future.set_result(res)

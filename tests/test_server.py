@@ -1,0 +1,64 @@
+"""Dynamic-batching serving engine: correctness vs the direct pipeline."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+import jax
+
+from tests.test_pipeline import TINY
+from jyutvoice_tpu.models.hift import init_hift
+from jyutvoice_tpu.models.tts import init_tts
+from jyutvoice_tpu.pipeline.server import ServingEngine
+from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+UTTS = [
+    ("佢 係邊 個", "keoi5 hai6 bin1 go3"),
+    ("你好", "nei5 hou2"),
+    ("我 哋 去", "ngo5 dei6 heoi3"),
+]
+
+
+@pytest.fixture(scope="module")
+def synth():
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    return Synthesizer(TINY, params, params_hift)
+
+
+def test_engine_batches_and_matches_direct(synth):
+    direct = {
+        text: synth.synthesize(text, lang="yue", phone=ph, n_timesteps=2)
+        for text, ph in UTTS
+    }
+    with ServingEngine(
+        synth, max_batch=4, max_wait_ms=200.0, n_timesteps=2
+    ) as engine:
+        futures = [
+            (text, engine.submit(text, lang="yue", phone=ph))
+            for text, ph in UTTS
+        ]
+        results = [(text, f.result(timeout=600)) for text, f in futures]
+        stats = engine.stats
+
+    assert stats.requests == len(UTTS)
+    # 200 ms window on an idle queue: all three coalesce into one batch
+    assert stats.batches >= 1 and max(stats.batch_sizes) >= 2
+    for text, res in results:
+        ref = direct[text]
+        assert res.mel_frames == ref.mel_frames
+        assert res.wav.shape == ref.wav.shape
+        # same bucket graph, masked padding: batched == single
+        np.testing.assert_allclose(res.wav, ref.wav, atol=5e-4, rtol=1e-3)
+
+
+def test_engine_error_propagates(synth):
+    with ServingEngine(synth, max_batch=2, max_wait_ms=5.0) as engine:
+        fut = engine.submit("abc", lang="nope-such-lang")
+        with pytest.raises(Exception):
+            fut.result(timeout=600)
+        assert engine.stats.errors >= 1
+
+    with pytest.raises(RuntimeError):
+        engine.submit("after close", lang="yue", phone="aa1")
