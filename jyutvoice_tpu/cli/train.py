@@ -67,6 +67,41 @@ def _log_val_sample(cfg, state, dm, tb, step, mesh):
     tb.attn_image("val/alignment", np.asarray(out.attn)[0, :n, :frames], step)
 
 
+def _validation_pass(cfg, tr, state, dm, mesh, n_dev, rep):
+    """Average eval-mode losses over the validation set (reference
+    baselightningmodule.py:162-204). Returns None when there is no val data."""
+    import jax
+    import jax.numpy as jnp
+
+    from jyutvoice_tpu.dist import shard_batch
+    from jyutvoice_tpu.train.step import loss_fn
+
+    val_metrics = []
+    for vbatch in dm.valid_batches():
+        b = vbatch["x"].shape[0]
+        if b % n_dev != 0:
+            padb = (n_dev - b % n_dev) % n_dev
+            vbatch = {
+                k: np.concatenate([v] + [v[:1]] * padb, axis=0)
+                for k, v in vbatch.items()
+            }
+        vbatch = shard_batch(
+            {k: jnp.asarray(v) for k, v in vbatch.items()}, mesh
+        )
+        # eval mode: dropout off, like the reference's model.eval()
+        _, m = jax.jit(loss_fn, static_argnums=(1, 2, 5))(
+            state.params, cfg.tts, tr,
+            jax.device_put(jax.random.PRNGKey(0), rep), vbatch,
+            False,
+        )
+        val_metrics.append({k: float(v) for k, v in m.items()})
+    if not val_metrics:
+        return None
+    return {
+        k: float(np.mean([m[k] for m in val_metrics])) for k in val_metrics[0]
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="JyutVoice-TPU training")
     parser.add_argument("--dataset", default=None, help="HF dataset dir")
@@ -83,6 +118,9 @@ def main(argv=None):
     parser.add_argument("--tb-dir", default=None, help="TensorBoard log dir")
     parser.add_argument("--save-every", type=int, default=500)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--validate-only", action="store_true",
+                        help="run one eval-mode validation pass and exit "
+                             "(reference train.py:120-145)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -150,6 +188,21 @@ def main(argv=None):
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
     log.info("mesh: %d device(s): %s", n_dev, mesh)
+
+    if args.validate_only:
+        with mesh:
+            rep = replicate(mesh)
+            state = jax.device_put(state, rep)
+            avg = _validation_pass(cfg, tr, state, dm, mesh, n_dev, rep)
+        if avg is None:
+            log.warning("no validation data")
+            return None
+        log.info(
+            "validate-only | val_loss %.4f (dur %.4f prior %.4f diff %.4f)",
+            avg["loss"], avg["dur_loss"], avg["prior_loss"], avg["diff_loss"],
+        )
+        return avg
+
     step_fn = make_train_step(cfg.tts, tr, tx)
 
     from jyutvoice_tpu.utils.observability import log_param_counts
@@ -212,33 +265,8 @@ def main(argv=None):
             else:
                 # ---- validation at epoch end (reference runs val every
                 # epoch + logs val_loss, baselightningmodule.py:162-204)
-                val_metrics = []
-                for vbatch in dm.valid_batches():
-                    b = vbatch["x"].shape[0]
-                    if b % n_dev != 0:
-                        padb = (n_dev - b % n_dev) % n_dev
-                        vbatch = {
-                            k: np.concatenate([v] + [v[:1]] * padb, axis=0)
-                            for k, v in vbatch.items()
-                        }
-                    vbatch = shard_batch(
-                        {k: jax.numpy.asarray(v) for k, v in vbatch.items()},
-                        mesh,
-                    )
-                    from jyutvoice_tpu.train.step import loss_fn
-
-                    # eval mode: dropout off, like the reference's model.eval()
-                    _, m = jax.jit(loss_fn, static_argnums=(1, 2, 5))(
-                        state.params, cfg.tts, tr,
-                        jax.device_put(jax.random.PRNGKey(0), rep), vbatch,
-                        False,
-                    )
-                    val_metrics.append({k: float(v) for k, v in m.items()})
-                if val_metrics:
-                    avg = {
-                        k: float(np.mean([m[k] for m in val_metrics]))
-                        for k in val_metrics[0]
-                    }
+                avg = _validation_pass(cfg, tr, state, dm, mesh, n_dev, rep)
+                if avg:
                     tb.scalars("val", avg, global_step)
                     log.info(
                         "epoch %d | val_loss %.4f (dur %.4f prior %.4f diff %.4f)",

@@ -288,3 +288,18 @@ def test_best_checkpoint_retention(tmp_path):
         int(s) for s in os.listdir(os.path.join(d, "best")) if s.isdigit()
     }
     assert kept == {20, 40}
+
+
+@pytest.mark.slow
+def test_train_cli_validate_only(tmp_path):
+    """--validate-only runs one eval-mode pass and returns avg losses
+    (reference train.py:120-145 trainer.validate path)."""
+    from jyutvoice_tpu.cli.train import main
+
+    avg = main([
+        "--dummy", "--batch-size", "4", "--validate-only",
+        "--ckpt-dir", str(tmp_path / "ck"),
+    ])
+    assert avg is not None
+    for k in ("loss", "dur_loss", "prior_loss", "diff_loss"):
+        assert np.isfinite(avg[k])
