@@ -18,7 +18,7 @@ model is frozen, prep-time only.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,12 +120,12 @@ def _res_block_init(key, in_ch: int, out_ch: int, stride: int) -> dict:
     return p
 
 
-def _res_block(p: dict, x: Array, stride: int) -> Array:
-    out = _relu(batch_norm(p["bn1"], conv2d(p["conv1"], x, stride=(stride, 1))))
-    out = batch_norm(p["bn2"], conv2d(p["conv2"], out))
+def _res_block(p: dict, x: Array, stride: int, mz) -> Array:
+    out = mz(_relu(batch_norm(p["bn1"], conv2d(p["conv1"], x, stride=(stride, 1)))))
+    out = mz(batch_norm(p["bn2"], conv2d(p["conv2"], out)))
     if "sc_conv" in p:
         sc = conv2d(p["sc_conv"], x, stride=(stride, 1), padding=(0, 0))
-        sc = batch_norm(p["sc_bn"], sc)
+        sc = mz(batch_norm(p["sc_bn"], sc))
     else:
         sc = x
     return _relu(out + sc)
@@ -150,16 +150,16 @@ def _fcm_init(key, cfg: CampPlusConfig) -> dict:
     }
 
 
-def _fcm(p: dict, x: Array) -> Array:
+def _fcm(p: dict, x: Array, mz) -> Array:
     """(B, T, F) fbank -> (B, T', C*F/8) with T'=T (time stride 1)."""
     b, t, f = x.shape
     h = jnp.transpose(x, (0, 2, 1))[..., None]  # (B, F, T, 1)
-    h = _relu(batch_norm(p["bn1"], conv2d(p["conv1"], h)))
+    h = mz(_relu(batch_norm(p["bn1"], conv2d(p["conv1"], h))))
     for i, blk in enumerate(p["layer1"]):
-        h = _res_block(blk, h, 2 if i == 0 else 1)
+        h = _res_block(blk, h, 2 if i == 0 else 1, mz)
     for i, blk in enumerate(p["layer2"]):
-        h = _res_block(blk, h, 2 if i == 0 else 1)
-    h = _relu(batch_norm(p["bn2"], conv2d(p["conv2"], h, stride=(2, 1))))
+        h = _res_block(blk, h, 2 if i == 0 else 1, mz)
+    h = mz(_relu(batch_norm(p["bn2"], conv2d(p["conv2"], h, stride=(2, 1)))))
     # torch reshape(B, C*F', T) flattens channel-major: flat[c*F'+f]
     h = jnp.transpose(h, (0, 2, 3, 1))  # (B, T, C, F')
     return h.reshape(b, t, -1)
@@ -170,17 +170,29 @@ def _fcm(p: dict, x: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _seg_pool_mean(x: Array, seg_len: int) -> Array:
+def _seg_pool_mean(x: Array, seg_len: int, t_valid=None) -> Array:
     """Per-segment time mean, repeated back over each segment (the CAM
     "local context"). Matches F.avg_pool1d(..., ceil_mode=True): the final
-    partial segment averages over its actual frames."""
+    partial segment averages over its actual frames. With t_valid (traced
+    scalar), frames past t_valid are treated as absent, so a zero-padded
+    bucketed run reproduces the exact-length result."""
     b, t, c = x.shape
     n_seg = -(-t // seg_len)
     pad = n_seg * seg_len - t
     xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     sums = xp.reshape(b, n_seg, seg_len, c).sum(axis=2)
-    counts = jnp.full((n_seg,), float(seg_len)).at[-1].set(float(seg_len - pad))
-    means = sums / counts[None, :, None]
+    if t_valid is None:
+        counts = jnp.full((1, n_seg), float(seg_len)).at[0, -1].set(
+            float(seg_len - pad)
+        )
+    else:  # t_valid: (B,) — per-row true frame counts per segment
+        starts = jnp.arange(n_seg, dtype=jnp.float32) * seg_len
+        counts = jnp.clip(
+            t_valid.astype(jnp.float32)[:, None] - starts[None, :],
+            1e-6,
+            seg_len,
+        )
+    means = sums / counts[:, :, None]
     return jnp.repeat(means, seg_len, axis=1)[:, :t]
 
 
@@ -193,11 +205,15 @@ def _cam_layer_init(key, bn_ch: int, out_ch: int, k: int) -> dict:
     }
 
 
-def _cam_layer(p: dict, x: Array, dilation: int, seg_len: int) -> Array:
+def _cam_layer(p: dict, x: Array, dilation: int, seg_len: int, mz, t_valid) -> Array:
     y = core.conv1d_auto(p["local"], x, padding="same_torch", dilation=dilation)
-    context = x.mean(axis=1, keepdims=True) + _seg_pool_mean(x, seg_len)
+    if t_valid is None:
+        mean = x.mean(axis=1, keepdims=True)
+    else:  # x is zero past t_valid; divide by the true count
+        mean = x.sum(axis=1, keepdims=True) / t_valid[:, None, None].astype(x.dtype)
+    context = mean + _seg_pool_mean(x, seg_len, t_valid)
     m = jax.nn.sigmoid(core.linear(p["lin2"], _relu(core.linear(p["lin1"], context))))
-    return y * m
+    return mz(y * m)
 
 
 def _dense_layer_init(key, in_ch: int, out_ch: int, bn_ch: int, k: int) -> dict:
@@ -210,10 +226,10 @@ def _dense_layer_init(key, in_ch: int, out_ch: int, bn_ch: int, k: int) -> dict:
     }
 
 
-def _dense_layer(p: dict, x: Array, dilation: int, seg_len: int) -> Array:
-    h = core.linear(p["linear1"], _relu(batch_norm(p["bn1"], x)))
-    h = _relu(batch_norm(p["bn2"], h))
-    return _cam_layer(p["cam"], h, dilation, seg_len)
+def _dense_layer(p: dict, x: Array, dilation: int, seg_len: int, mz, t_valid) -> Array:
+    h = core.linear(p["linear1"], mz(_relu(batch_norm(p["bn1"], x))))
+    h = mz(_relu(batch_norm(p["bn2"], h)))
+    return _cam_layer(p["cam"], h, dilation, seg_len, mz, t_valid)
 
 
 def init_campplus(key, cfg: CampPlusConfig = CampPlusConfig()) -> dict:
@@ -263,21 +279,63 @@ def init_campplus(key, cfg: CampPlusConfig = CampPlusConfig()) -> dict:
     return p
 
 
-def apply_campplus(p: dict, cfg: CampPlusConfig, feat: Array) -> Array:
-    """Mean-normalized kaldi fbank (B, T, 80) -> speaker embedding (B, 192)."""
-    x = _fcm(p["head"], feat)
+def apply_campplus(
+    p: dict, cfg: CampPlusConfig, feat: Array, t_len: Optional[Array] = None
+) -> Array:
+    """Mean-normalized kaldi fbank (B, T, 80) -> speaker embedding (B, 192).
+
+    With t_len (per-row valid frame counts, (B,) int) the input may be
+    zero-padded to any bucketed T and the result equals the exact-length
+    run bit-for-bit in structure: every layer output is re-zeroed past the
+    valid boundary (so convs see exactly the zero padding the exact-length
+    run would), and the global reductions (CAM context means, segment
+    pooling, stats pooling) divide by true counts. This is what makes
+    bucketed-jit prompt extraction possible on TPU (one compiled graph per
+    bucket instead of one per utterance length).
+    """
+    b, t, _f = feat.shape
+    if t_len is None:
+        mz1 = mz2d = lambda x: x  # noqa: E731
+        t1 = None
+    else:
+        tl = t_len.astype(jnp.int32)
+        m1 = (jnp.arange(t)[None, :] < tl[:, None])[..., None]  # (B, T, 1)
+        mz1 = lambda x: jnp.where(m1, x, 0.0)  # noqa: E731
+        m2d = m1[:, None, :, :]  # NHWC (B, F, T, C): time on axis 2
+        mz2d = lambda x: jnp.where(m2d, x, 0.0)  # noqa: E731
+        feat = mz1(feat)
+
+    x = _fcm(p["head"], feat, mz2d)
     x = core.conv1d(p["tdnn"]["conv"], x, stride=2, padding=(2, 2))
-    x = _relu(batch_norm(p["tdnn"]["bn"], x))
+    # after the stride-2 TDNN (k=5, pad=2): valid out = floor((t-1)/2)+1
+    if t_len is None:
+        mzt = lambda x: x  # noqa: E731
+        t1 = None
+    else:
+        t1 = (tl - 1) // 2 + 1
+        mt = (jnp.arange(x.shape[1])[None, :] < t1[:, None])[..., None]
+        mzt = lambda y: jnp.where(mt, y, 0.0)  # noqa: E731
+    x = mzt(_relu(batch_norm(p["tdnn"]["bn"], x)))
     for block, k, d in zip(p["blocks"], cfg.kernel_sizes, cfg.dilations):
         for layer in block["layers"]:
-            x = jnp.concatenate([x, _dense_layer(layer, x, d, cfg.seg_len)], axis=-1)
+            x = jnp.concatenate(
+                [x, _dense_layer(layer, x, d, cfg.seg_len, mzt, t1)], axis=-1
+            )
         x = core.linear(
-            block["transit"]["linear"], _relu(batch_norm(block["transit"]["bn"], x))
+            block["transit"]["linear"],
+            mzt(_relu(batch_norm(block["transit"]["bn"], x))),
         )
-    x = _relu(batch_norm(p["out_bn"], x))
-    # stats pooling: mean + unbiased std over time
-    mean = x.mean(axis=1)
-    std = jnp.sqrt(jnp.maximum(x.var(axis=1, ddof=1), 0.0))  # torch .std(unbiased)
+    x = mzt(_relu(batch_norm(p["out_bn"], x)))
+    # stats pooling: mean + unbiased std over (valid) time
+    if t1 is None:
+        mean = x.mean(axis=1)
+        var = x.var(axis=1, ddof=1)
+    else:
+        n = t1.astype(x.dtype)[:, None]
+        mean = x.sum(axis=1) / n
+        dev = mzt(x - mean[:, None, :])
+        var = jnp.square(dev).sum(axis=1) / jnp.maximum(n - 1.0, 1.0)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))  # torch .std(unbiased)
     stats = jnp.concatenate([mean, std], axis=-1)
     emb = core.linear(p["dense"]["linear"], stats)
     return batch_norm(p["dense"]["bn"], emb)

@@ -18,6 +18,7 @@ conventions. The FSQ rounding happens in f32 exactly like the export.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,13 +65,16 @@ def _mha_init(key, d: int) -> dict:
     }
 
 
-def _whisper_mha(p: dict, x: Array, n_head: int) -> Array:
+def _whisper_mha(p: dict, x: Array, n_head: int, bias=None) -> Array:
     b, t, d = x.shape
     scale = (d // n_head) ** -0.25
     q = core.linear(p["q"], x).reshape(b, t, n_head, -1).transpose(0, 2, 1, 3) * scale
     k = core.linear(p["k"], x).reshape(b, t, n_head, -1).transpose(0, 2, 3, 1) * scale
     v = core.linear(p["v"], x).reshape(b, t, n_head, -1).transpose(0, 2, 1, 3)
-    w = jax.nn.softmax((q @ k).astype(jnp.float32), axis=-1).astype(q.dtype)
+    scores = (q @ k).astype(jnp.float32)
+    if bias is not None:  # (B, 1, 1, T) key mask: -inf on padded frames
+        scores = scores + bias
+    w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = (w @ v).transpose(0, 2, 1, 3).reshape(b, t, d)
     return core.linear(p["out"], out)
 
@@ -86,8 +90,8 @@ def _block_init(key, d: int) -> dict:
     }
 
 
-def _block(p: dict, x: Array, n_head: int) -> Array:
-    x = x + _whisper_mha(p["attn"], core.layer_norm(p["attn_ln"], x), n_head)
+def _block(p: dict, x: Array, n_head: int, bias=None) -> Array:
+    x = x + _whisper_mha(p["attn"], core.layer_norm(p["attn_ln"], x), n_head, bias)
     h = core.linear(p["mlp1"], core.layer_norm(p["mlp_ln"], x))
     h = core.linear(p["mlp2"], jax.nn.gelu(h, approximate=False))
     return x + h
@@ -105,13 +109,42 @@ def init_s3_tokenizer(key, cfg: S3TokenizerConfig = S3TokenizerConfig()) -> dict
     }
 
 
-def apply_s3_encoder(p: dict, cfg: S3TokenizerConfig, mel: Array) -> Array:
-    """whisper log-mel (B, T, n_mels) -> hidden states (B, T//4, d)."""
+def out_len(t_len: Array) -> Array:
+    """Valid token count after the two stride-2 k=3 p=1 convs."""
+    t1 = (t_len - 1) // 2 + 1
+    return (t1 - 1) // 2 + 1
+
+
+def apply_s3_encoder(
+    p: dict, cfg: S3TokenizerConfig, mel: Array, t_len: Optional[Array] = None
+) -> Array:
+    """whisper log-mel (B, T, n_mels) -> hidden states (B, T//4, d).
+
+    With t_len ((B,) valid mel-frame counts) the input may be zero-padded
+    to a bucketed T: the convs are local (zero pad == exact-run pad) and
+    attention masks padded keys, so valid positions match the exact-length
+    run — enabling one compiled graph per bucket on TPU.
+    """
+    if t_len is not None:
+        t_len = t_len.astype(jnp.int32)
+        m = (jnp.arange(mel.shape[1])[None, :] < t_len[:, None])[..., None]
+        mel = jnp.where(m, mel, 0.0)
     x = jax.nn.gelu(core.conv1d(p["conv1"], mel, stride=2), approximate=False)
+    if t_len is not None:
+        # re-zero past the stride-2 boundary: conv1's bias+gelu ring there
+        # must read as the exact-length run's zero padding for conv2
+        t1 = (t_len - 1) // 2 + 1
+        m1 = (jnp.arange(x.shape[1])[None, :] < t1[:, None])[..., None]
+        x = jnp.where(m1, x, 0.0)
     x = jax.nn.gelu(core.conv1d(p["conv2"], x, stride=2), approximate=False)
     x = x + p["pos"][: x.shape[1]].astype(x.dtype)
+    bias = None
+    if t_len is not None:
+        valid = out_len(t_len.astype(jnp.int32))
+        key_ok = jnp.arange(x.shape[1])[None, :] < valid[:, None]
+        bias = jnp.where(key_ok, 0.0, -jnp.inf)[:, None, None, :]
     for blk in p["blocks"]:
-        x = _block(blk, x, cfg.n_audio_head)
+        x = _block(blk, x, cfg.n_audio_head, bias)
     return x
 
 
@@ -126,7 +159,11 @@ def fsq_encode(p: dict, cfg: S3TokenizerConfig, h: Array) -> Array:
 
 
 def apply_s3_tokenizer(
-    p: dict, cfg: S3TokenizerConfig, mel: Array
+    p: dict, cfg: S3TokenizerConfig, mel: Array, t_len: Optional[Array] = None
 ) -> Array:
-    """whisper log-mel (B, T, n_mels) -> speech tokens (B, T//4) @25 Hz."""
-    return fsq_encode(p["fsq"], cfg, apply_s3_encoder(p, cfg, mel))
+    """whisper log-mel (B, T, n_mels) -> speech tokens (B, T//4) @25 Hz.
+
+    With t_len, tokens past out_len(t_len) are padding garbage — slice
+    them off host-side (the jitted shape stays static).
+    """
+    return fsq_encode(p["fsq"], cfg, apply_s3_encoder(p, cfg, mel, t_len))

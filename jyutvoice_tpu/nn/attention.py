@@ -194,18 +194,30 @@ def espnet_rel_pos_emb(t: int, d_model: int, dtype=jnp.float32) -> Array:
 
 
 def rel_shift_gather(matrix_bd: Array, t_q: int, t_k: int) -> Array:
-    """(B, H, Tq, 2Tq-1) -> (B, H, Tq, Tk) relative-position gather.
+    """(B, H, Tq, W) -> (B, H, Tq, Tk) relative-position shift:
+    out[i, j] = in[i, Tq-1-i+j].
 
-    Equivalent to the ESPnet pad-reshape rel_shift trick
-    (reference transformer/attention.py:227-247): out[i, j] = in[i, Tq-1-i+j].
+    Same semantics as the ESPnet pad-reshape rel_shift trick (reference
+    transformer/attention.py:227-247), generalized to any band width W and
+    implemented as a flat reshape + static slice: row i's outputs are the
+    contiguous run flat[i*(W-1) + Tq-1 + j], so one slice + reshape extracts
+    the whole banded diagonal. TPU gathers (take_along_axis) measured ~20x
+    slower at flow-encoder shapes (scripts/bench_prompt.py) — never gather.
     """
-    i = jnp.arange(t_q)[:, None]
-    j = jnp.arange(t_k)[None, :]
-    idx = (t_q - 1) - i + j  # (Tq, Tk)
-    # gather along the relative-position axis: out[..., i, j] = in[..., i, idx[i, j]]
-    return jnp.take_along_axis(
-        matrix_bd, jnp.broadcast_to(idx, matrix_bd.shape[:2] + idx.shape), axis=-1
-    )
+    b, h, tq, w = matrix_bd.shape
+    assert tq == t_q
+    if t_k > w - 1:  # degenerate tiny shapes (t == 1): gather is fine there
+        i = jnp.arange(t_q)[:, None]
+        j = jnp.arange(t_k)[None, :]
+        idx = (t_q - 1) - i + j
+        return jnp.take_along_axis(
+            matrix_bd,
+            jnp.broadcast_to(idx, matrix_bd.shape[:2] + idx.shape),
+            axis=-1,
+        )
+    flat = matrix_bd.reshape(b, h, tq * w)
+    flat = jax.lax.slice_in_dim(flat, t_q - 1, t_q - 1 + tq * (w - 1), axis=2)
+    return flat.reshape(b, h, tq, w - 1)[..., :t_k]
 
 
 def rel_mha_init(key, n_feat: int, n_heads: int):

@@ -32,6 +32,15 @@ from jyutvoice_tpu.config import FlowEncoderConfig
 _log = logging.getLogger(__name__)
 
 
+def _time_bucket(n: int, base: int = 128, growth: float = 1.5) -> int:
+    """Geometric length buckets: one compiled graph per bucket instead of
+    one per utterance length (the masked apply fns make padding exact)."""
+    b = base
+    while b < n:
+        b = int(b * growth)
+    return b
+
+
 def _ort_session(path: str):
     import onnxruntime  # type: ignore
 
@@ -90,12 +99,21 @@ class CampPlusEmbedder:
         feat = kaldi_fbank(audio16k, num_mel_bins=80)
         feat = feat - feat.mean(axis=0, keepdims=True)
         if self.params is not None:
+            import jax
             import jax.numpy as jnp
 
             from jyutvoice_tpu.models.campplus import apply_campplus
 
-            out = apply_campplus(
-                self.params, self.cfg, jnp.asarray(feat[None], jnp.float32)
+            if not hasattr(self, "_fn"):
+                cfg = self.cfg
+                self._fn = jax.jit(
+                    lambda p, f, n: apply_campplus(p, cfg, f, t_len=n)
+                )
+            t = feat.shape[0]
+            fb = np.zeros((1, _time_bucket(t), feat.shape[1]), np.float32)
+            fb[0, :t] = feat
+            out = self._fn(
+                self.params, jnp.asarray(fb), jnp.asarray([t], jnp.int32)
             )
             return np.asarray(out).flatten().astype(np.float32)
         out = self.session.run(
@@ -147,14 +165,27 @@ class SpeechTokenizer:
             return None
         mel = whisper_log_mel(audio16k)  # (128, T)
         if self.params is not None:
+            import jax
             import jax.numpy as jnp
 
-            from jyutvoice_tpu.models.s3_tokenizer import apply_s3_tokenizer
-
-            tokens = apply_s3_tokenizer(
-                self.params, self.cfg, jnp.asarray(mel.T[None], jnp.float32)
+            from jyutvoice_tpu.models.s3_tokenizer import (
+                apply_s3_tokenizer,
+                out_len,
             )
-            return np.asarray(tokens).flatten().astype(np.int32)
+
+            if not hasattr(self, "_fn"):
+                cfg = self.cfg
+                self._fn = jax.jit(
+                    lambda p, m, n: apply_s3_tokenizer(p, cfg, m, t_len=n)
+                )
+            t = mel.shape[1]
+            mb = np.zeros((1, _time_bucket(t), mel.shape[0]), np.float32)
+            mb[0, :t] = mel.T
+            tokens = self._fn(
+                self.params, jnp.asarray(mb), jnp.asarray([t], jnp.int32)
+            )
+            n_valid = int(out_len(np.asarray([t]))[0])
+            return np.asarray(tokens)[0, :n_valid].astype(np.int32)
         inputs = self.session.get_inputs()
         feed = {
             inputs[0].name: mel[None].astype(np.float32),

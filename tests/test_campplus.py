@@ -77,6 +77,27 @@ def test_campplus_parity_state_dict():
     _compare(model, params, t=237)
 
 
+def test_campplus_masked_bucket_equals_exact():
+    """Zero-padded bucketed run with t_len == exact-length run (the property
+    that lets prompt extraction jit one graph per bucket on TPU)."""
+    import jax
+
+    params = init_campplus(jax.random.PRNGKey(3), CFG)
+    feat = _feat(237, seed=7)
+    exact = np.asarray(apply_campplus(params, CFG, jnp.asarray(feat)))
+
+    padded = np.zeros((1, 300, 80), np.float32)
+    padded[:, :237] = feat
+    # garbage in the pad region must not leak into the result
+    padded[:, 237:] = 123.0
+    out = np.asarray(
+        apply_campplus(
+            params, CFG, jnp.asarray(padded), t_len=jnp.asarray([237])
+        )
+    )
+    np.testing.assert_allclose(out, exact, rtol=1e-4, atol=1e-5)
+
+
 def _export_onnx(model: CAMPPlus, path: str, fold: bool):
     # torch.onnx's final onnxscript-function pass needs the `onnx` package
     # but is a no-op without custom ops; bypass it in this onnx-free env.

@@ -84,6 +84,27 @@ def test_s3_parity_torch():
     assert (tokens == tokens_ref).mean() >= 0.99
 
 
+def test_s3_masked_bucket_equals_exact():
+    """Zero-padded bucketed run with t_len == exact-length run on the valid
+    token prefix (bucketed-jit prompt tokenization on TPU)."""
+    from jyutvoice_tpu.models.s3_tokenizer import apply_s3_encoder, out_len
+
+    params = init_s3_tokenizer(jax.random.PRNGKey(1), TINY)
+    mel = _mel(101, seed=4)
+    exact_h = np.asarray(apply_s3_encoder(params, TINY, jnp.asarray(mel)))
+    exact_tok = np.asarray(apply_s3_tokenizer(params, TINY, jnp.asarray(mel)))
+
+    padded = np.full((1, 128, TINY.n_mels), 55.0, np.float32)
+    padded[:, :101] = mel
+    t_len = jnp.asarray([101])
+    h = np.asarray(apply_s3_encoder(params, TINY, jnp.asarray(padded), t_len))
+    tok = np.asarray(apply_s3_tokenizer(params, TINY, jnp.asarray(padded), t_len))
+    n_valid = int(out_len(np.asarray([101]))[0])
+    assert n_valid == exact_h.shape[1]
+    np.testing.assert_allclose(h[:, :n_valid], exact_h, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(tok[:, :n_valid], exact_tok)
+
+
 def test_s3_fsq_codes_cover_vocab():
     """FSQ digits are base-3 in [0, 3); codes must hit both extremes."""
     params = {"w": jnp.eye(8, dtype=jnp.float32) * 100.0, "b": jnp.zeros(8)}
