@@ -79,12 +79,19 @@ class ServingEngine:
         max_wait_ms: float = 20.0,
         n_timesteps: int = 10,
         length_scale: float = 1.0,
+        return_mel: bool = False,
+        pcm16: bool = False,
     ):
         self.synth = synthesizer
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.n_timesteps = n_timesteps
         self.length_scale = length_scale
+        # serving defaults skip the mel readback (wav is the product) and
+        # can emit int16 PCM on-device — host-transfer bytes dominate over
+        # a tunneled link (docs/design.md)
+        self.return_mel = return_mel
+        self.pcm16 = pcm16
         self.stats = ServeStats()
         self._q: "queue.SimpleQueue[_Request]" = queue.SimpleQueue()
         self._stop = threading.Event()
@@ -128,6 +135,14 @@ class ServingEngine:
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout)
+        # fail anything still queued (raced with close) instead of hanging
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("engine is closed"))
 
     def __enter__(self):
         return self
@@ -171,6 +186,8 @@ class ServingEngine:
                     [r.item for r in group],
                     n_timesteps=self.n_timesteps,
                     length_scale=self.length_scale,
+                    return_mel=self.return_mel,
+                    pcm16=self.pcm16,
                 )
             except Exception as e:  # noqa: BLE001 — propagate per-request
                 for req in group:

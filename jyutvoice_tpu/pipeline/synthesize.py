@@ -107,8 +107,9 @@ class Synthesizer:
             self._mel_fns[key] = f
         return self._mel_fns[key]
 
-    def _voc_fn(self, t_mel: int):
-        if t_mel not in self._voc_fns:
+    def _voc_fn(self, t_mel: int, pcm16: bool = False):
+        key = (t_mel, pcm16)
+        if key not in self._voc_fns:
             hift_cfg = self.cfg.hift
 
             @jax.jit
@@ -116,10 +117,15 @@ class Synthesizer:
                 wav, _ = hift_mod.hift_inference(
                     params, hift_cfg, mel, deterministic=True
                 )
+                if pcm16:
+                    # on-device PCM16: halves the host-readback bytes (the
+                    # dominant serving cost over a tunneled link) and is the
+                    # wav-file-native format anyway
+                    wav = jnp.round(wav * 32767.0).astype(jnp.int16)
                 return wav
 
-            self._voc_fns[t_mel] = f
-        return self._voc_fns[t_mel]
+            self._voc_fns[key] = f
+        return self._voc_fns[key]
 
     def _fused_fn(self, key: Tuple[int, int, int, int]):
         """mel graph + vocoder in ONE compiled call (single dispatch)."""
@@ -161,7 +167,10 @@ class Synthesizer:
         for s in seqs:
             a = np.zeros((1, t_text), np.int32)
             a[0, :n] = s
-            arrs.append(jnp.asarray(a))
+            # host arrays: jit converts them at dispatch. Returning device
+            # arrays here cost synthesize_batch a tunnel round-trip PER
+            # FEATURE PER ITEM to read them back (40 RTTs per batch-8 group)
+            arrs.append(a)
         return arrs, np.array([n], np.int32), t_text
 
     def synthesize(
@@ -338,18 +347,27 @@ class Synthesizer:
         items,
         n_timesteps: int = 10,
         length_scale: float = 1.0,
+        return_mel: bool = True,
+        pcm16: bool = False,
     ):
         """Batched long-form synthesis (BASELINE config 4).
 
         items: list of dicts with keys text/lang/phone and optional
         spk_embed/prompt_feat/prompt_h. All items share one compiled graph:
-        text/mel/prompt lengths are padded to the max bucket of the batch.
-        Returns a list of SynthesisResult.
+        text/mel/prompt lengths are padded to the max bucket of the batch,
+        and the batch dim is padded to the next power of two (row 0
+        repeated) so realized batch sizes map onto log2 many compiled
+        graphs instead of one per size — essential under a dynamic-batching
+        server where group sizes vary per window.
+        Returns a list of SynthesisResult (padding rows dropped).
         """
         import jax.numpy as jnp
 
         from jyutvoice_tpu.pipeline import buckets as bkt
 
+        b_real = len(items)
+        b_pad = 1 << max(b_real - 1, 0).bit_length()  # next power of two
+        items = list(items) + [items[0]] * (b_pad - b_real)
         b = len(items)
         prepped = [
             self.prepare_text(it["text"], it.get("lang", "yue"), it.get("phone"))
@@ -404,17 +422,20 @@ class Synthesizer:
             jnp.asarray(spk), jnp.asarray(pf), jnp.asarray(ph),
             jnp.asarray(p_lens), length_scale=length_scale,
         )
-        wav = self._voc_fn(t_mel)(self.params_hift, out.mel)
+        wav = self._voc_fn(t_mel, pcm16)(self.params_hift, out.mel)
+        # one readback per array (a per-row int(out.mel_lengths[i]) costs a
+        # full tunnel RTT each — measured ~28 ms/row)
+        lens_np = np.asarray(out.mel_lengths)
         wav_np = np.asarray(wav)
-        mel_np = np.asarray(out.mel)
+        mel_np = np.asarray(out.mel) if return_mel else None
         results = []
-        for i in range(b):
-            frames = int(out.mel_lengths[i])
+        for i in range(b_real):  # padding rows dropped
+            frames = int(lens_np[i])
             samples = frames * self.cfg.audio.hop_length
             results.append(
                 SynthesisResult(
                     wav=wav_np[i, :samples],
-                    mel=mel_np[i, :frames],
+                    mel=mel_np[i, :frames] if return_mel else None,
                     mel_frames=frames,
                     rtf=float("nan"),
                     timings={},

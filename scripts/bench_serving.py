@@ -40,10 +40,17 @@ def main():
     max_batch = 8
 
     with ServingEngine(
-        synth, max_batch=max_batch, max_wait_ms=30.0, n_timesteps=10
+        synth, max_batch=max_batch, max_wait_ms=30.0, n_timesteps=10,
+        pcm16=True,
     ) as engine:
-        # warmup: compile the bucket graph
-        engine.submit(text, lang="yue", phone=phone).result()
+        # warmup: compile the max-batch bucket graph (batch dim is padded to
+        # powers of two inside synthesize_batch, so this covers the run)
+        ws = [engine.submit(text, lang="yue", phone=phone)
+              for _ in range(max_batch)]
+        for w in ws:
+            w.result()
+        engine.submit(text, lang="yue", phone=phone).result()  # batch-1 graph
+        engine.stats.__init__()  # drop warmup/compile from the stats
         t0 = time.perf_counter()
         futs = [
             engine.submit(text, lang="yue", phone=phone) for _ in range(n_req)
