@@ -348,7 +348,9 @@ def hift_decode(p, cfg: HiFTConfig, mel: Array, source: Array) -> Array:
         u = cfg.upsample_rates[i]
         k = cfg.upsample_kernel_sizes[i]
         x = core.leaky_relu(x, cfg.lrelu_slope)
-        x = core.conv_transpose1d(p["ups"][i], x, stride=u, padding=(k - u) // 2)
+        x = core.conv_transpose1d_auto(
+            p["ups"][i], x, stride=u, padding=(k - u) // 2
+        )
         if i == num_up - 1:
             # reflection_pad (1, 0) (reference generator.py:351, 407-408)
             x = jnp.concatenate([x[:, 1:2, :], x], axis=1)

@@ -268,6 +268,53 @@ def conv_transpose1d(
     return y
 
 
+def conv_transpose1d_matmul(
+    p: PyTree, x: Array, *, stride: int, padding: int = 0
+) -> Array:
+    """ConvTranspose1d as ceil(K/S) batched matmuls + reshape.
+
+    y[s*q + r] = sum_m x[q-m] @ W[r + s*m] — each output phase r is a
+    matmul over taps m, so the whole op is n_taps (B,T,Cin)@(Cin,S*Cout)
+    products and one reshape. Mathematically identical to conv_transpose1d
+    (max err ~2e-7). Measured v5e: when S does NOT divide K, XLA's
+    lhs-dilated conv lowering is catastrophic and this wins big
+    (k11/s5 @T=4096: 835 -> 123 us; k7/s3 @T=20480: 310 -> 24 us); when
+    S | K the fused conv wins (k16/s8: 61 vs 177 us) — see
+    conv_transpose1d_auto.
+    """
+    w = p["w"]  # (K, Cin, Cout)
+    k, cin, cout = w.shape
+    s = stride
+    n_taps = -(-k // s)
+    wpad = jnp.pad(w, ((0, n_taps * s - k), (0, 0), (0, 0)))
+    b, t, _ = x.shape
+    y = None
+    for m in range(n_taps):
+        wm = wpad[m * s : (m + 1) * s]  # (s, cin, cout)
+        xm = jnp.pad(x, ((0, 0), (m, n_taps - 1 - m), (0, 0)))
+        ym = jnp.einsum(
+            "btc,scd->btsd", xm, wm, preferred_element_type=x.dtype
+        )
+        y = ym if y is None else y + ym
+    y = y.reshape(b, (t + n_taps - 1) * s, cout)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    lo = padding
+    hi = (t - 1) * s + k - padding
+    return y[:, lo:hi]
+
+
+def conv_transpose1d_auto(
+    p: PyTree, x: Array, *, stride: int, padding: int = 0
+) -> Array:
+    """Measured dispatch: matmul form when stride does not divide K
+    (XLA's lhs-dilated lowering is ~7-13x slower there), fused conv
+    otherwise."""
+    if p["w"].shape[0] % stride != 0:
+        return conv_transpose1d_matmul(p, x, stride=stride, padding=padding)
+    return conv_transpose1d(p, x, stride=stride, padding=padding)
+
+
 # ---------------------------------------------------------------------------
 # Normalization
 # ---------------------------------------------------------------------------
