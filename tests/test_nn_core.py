@@ -241,3 +241,27 @@ def test_conv1d_matmul_equivalence():
             np.asarray(auto), np.asarray(ref), rtol=1e-5, atol=1e-5,
             err_msg=f"auto k={k} d={d} pad={padding}",
         )
+
+
+def test_conv_transpose_matmul_matches_conv():
+    """conv_transpose1d_matmul == conv_transpose1d for the HiFT shapes
+    (k16/s8, k11/s5, k7/s3) and the auto dispatch picks a correct branch."""
+    import jax
+
+    from jyutvoice_tpu.nn import core
+
+    rng = np.random.default_rng(0)
+    for k, s, t in [(16, 8, 12), (11, 5, 20), (7, 3, 33), (4, 2, 9)]:
+        p = core.conv_transpose1d_init(jax.random.PRNGKey(k), 6, 10, k)
+        x = jnp.asarray(rng.standard_normal((2, t, 6)), jnp.float32)
+        pad = (k - s) // 2
+        ref = core.conv_transpose1d(p, x, stride=s, padding=pad)
+        mm = core.conv_transpose1d_matmul(p, x, stride=s, padding=pad)
+        np.testing.assert_allclose(
+            np.asarray(mm), np.asarray(ref), rtol=1e-5, atol=1e-5,
+            err_msg=f"k={k} s={s}",
+        )
+        auto = core.conv_transpose1d_auto(p, x, stride=s, padding=pad)
+        np.testing.assert_allclose(
+            np.asarray(auto), np.asarray(ref), rtol=1e-5, atol=1e-5,
+        )
