@@ -173,33 +173,59 @@ class ServingEngine:
             group.append(req)
         return group
 
+    def _fail(self, group: List[_Request], e: Exception) -> None:
+        for req in group:
+            if not req.future.cancelled():
+                req.future.set_exception(e)
+        self.stats.errors += len(group)
+
+    def _finalize(self, group: List[_Request], finalize) -> None:
+        try:
+            results = finalize()
+        except Exception as e:  # noqa: BLE001 — propagate per-request
+            self._fail(group, e)
+            return
+        t_end = time.perf_counter()
+        self.stats.batches += 1
+        self.stats.batch_sizes.append(len(group))
+        for req, res in zip(group, results):
+            self.stats.requests += 1
+            self.stats.total_latency_s += t_end - req.t_submit
+            if not req.future.cancelled():
+                req.future.set_result(res)
+
     def _run(self) -> None:
+        # double-buffered: group N is dispatched to the device before group
+        # N-1's results are read back, so host transfer (the dominant cost
+        # over a tunneled link) overlaps device compute.
+        pending = None  # (group, finalize)
         while not self._stop.is_set():
+            if pending is not None and self._q.empty():
+                self._finalize(*pending)
+                pending = None
+                continue
             group = self._collect()
             if not group:
+                if pending is not None:
+                    self._finalize(*pending)
+                    pending = None
                 continue
             t_start = time.perf_counter()
             for req in group:
                 self.stats.total_wait_s += t_start - req.t_submit
             try:
-                results = self.synth.synthesize_batch(
+                finalize = self.synth.synthesize_batch_dispatch(
                     [r.item for r in group],
                     n_timesteps=self.n_timesteps,
                     length_scale=self.length_scale,
                     return_mel=self.return_mel,
                     pcm16=self.pcm16,
                 )
-            except Exception as e:  # noqa: BLE001 — propagate per-request
-                for req in group:
-                    if not req.future.cancelled():
-                        req.future.set_exception(e)
-                self.stats.errors += len(group)
-                continue
-            t_end = time.perf_counter()
-            self.stats.batches += 1
-            self.stats.batch_sizes.append(len(group))
-            for req, res in zip(group, results):
-                self.stats.requests += 1
-                self.stats.total_latency_s += t_end - req.t_submit
-                if not req.future.cancelled():
-                    req.future.set_result(res)
+            except Exception as e:  # noqa: BLE001
+                self._fail(group, e)
+                finalize = None
+            if pending is not None:
+                self._finalize(*pending)
+            pending = (group, finalize) if finalize is not None else None
+        if pending is not None:
+            self._finalize(*pending)

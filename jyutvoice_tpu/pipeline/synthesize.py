@@ -342,7 +342,7 @@ class Synthesizer:
             yield chunk[:emit]
             total += emit
 
-    def synthesize_batch(
+    def synthesize_batch_dispatch(
         self,
         items,
         n_timesteps: int = 10,
@@ -350,7 +350,11 @@ class Synthesizer:
         return_mel: bool = True,
         pcm16: bool = False,
     ):
-        """Batched long-form synthesis (BASELINE config 4).
+        """Dispatch batched long-form synthesis (BASELINE config 4); returns
+        a zero-arg `finalize` that reads results back and builds the list of
+        SynthesisResult. Dispatch/readback are split so a server can overlap
+        group N's device compute with group N-1's host transfer
+        (pipeline/server.py double-buffering).
 
         items: list of dicts with keys text/lang/phone and optional
         spk_embed/prompt_feat/prompt_h. All items share one compiled graph:
@@ -359,7 +363,7 @@ class Synthesizer:
         repeated) so realized batch sizes map onto log2 many compiled
         graphs instead of one per size — essential under a dynamic-batching
         server where group sizes vary per window.
-        Returns a list of SynthesisResult (padding rows dropped).
+        Results drop the padding rows.
         """
         import jax.numpy as jnp
 
@@ -423,22 +427,43 @@ class Synthesizer:
             jnp.asarray(p_lens), length_scale=length_scale,
         )
         wav = self._voc_fn(t_mel, pcm16)(self.params_hift, out.mel)
-        # one readback per array (a per-row int(out.mel_lengths[i]) costs a
-        # full tunnel RTT each — measured ~28 ms/row)
-        lens_np = np.asarray(out.mel_lengths)
-        wav_np = np.asarray(wav)
-        mel_np = np.asarray(out.mel) if return_mel else None
-        results = []
-        for i in range(b_real):  # padding rows dropped
-            frames = int(lens_np[i])
-            samples = frames * self.cfg.audio.hop_length
-            results.append(
-                SynthesisResult(
-                    wav=wav_np[i, :samples],
-                    mel=mel_np[i, :frames] if return_mel else None,
-                    mel_frames=frames,
-                    rtf=float("nan"),
-                    timings={},
+
+        def finalize():
+            # one readback per array (a per-row int(out.mel_lengths[i])
+            # costs a full tunnel RTT each — measured ~28 ms/row)
+            lens_np = np.asarray(out.mel_lengths)
+            wav_np = np.asarray(wav)
+            mel_np = np.asarray(out.mel) if return_mel else None
+            results = []
+            for i in range(b_real):  # padding rows dropped
+                frames = int(lens_np[i])
+                samples = frames * self.cfg.audio.hop_length
+                results.append(
+                    SynthesisResult(
+                        wav=wav_np[i, :samples],
+                        mel=mel_np[i, :frames] if return_mel else None,
+                        mel_frames=frames,
+                        rtf=float("nan"),
+                        timings={},
+                    )
                 )
-            )
-        return results
+            return results
+
+        return finalize
+
+    def synthesize_batch(
+        self,
+        items,
+        n_timesteps: int = 10,
+        length_scale: float = 1.0,
+        return_mel: bool = True,
+        pcm16: bool = False,
+    ):
+        """Batched synthesis; see synthesize_batch_dispatch for semantics."""
+        return self.synthesize_batch_dispatch(
+            items,
+            n_timesteps=n_timesteps,
+            length_scale=length_scale,
+            return_mel=return_mel,
+            pcm16=pcm16,
+        )()
