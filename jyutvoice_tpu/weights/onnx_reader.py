@@ -117,7 +117,7 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
             else:
                 int64_data.extend(_signed(v) for v in _packed_varints(val))
         elif field == 8:
-            name = val.decode("utf-8")
+            name = bytes(val).decode("utf-8")
         elif field == 9:
             raw = val
     dtype = _DTYPES.get(data_type)
@@ -140,19 +140,19 @@ def _parse_node(buf: bytes) -> dict:
     node = {"input": [], "output": [], "name": "", "op_type": "", "attrs": {}}
     for field, _wire, val in _fields(buf):
         if field == 1:
-            node["input"].append(val.decode("utf-8"))
+            node["input"].append(bytes(val).decode("utf-8"))
         elif field == 2:
-            node["output"].append(val.decode("utf-8"))
+            node["output"].append(bytes(val).decode("utf-8"))
         elif field == 3:
-            node["name"] = val.decode("utf-8")
+            node["name"] = bytes(val).decode("utf-8")
         elif field == 4:
-            node["op_type"] = val.decode("utf-8")
+            node["op_type"] = bytes(val).decode("utf-8")
         elif field == 5:  # AttributeProto — keep tensor attrs (Constant nodes)
             attr_name = ""
             tensor = None
             for afield, _awire, aval in _fields(val):
                 if afield == 1:
-                    attr_name = aval.decode("utf-8")
+                    attr_name = bytes(aval).decode("utf-8")
                 elif afield == 5:  # AttributeProto.t
                     _tname, tensor = _parse_tensor(aval)
             if tensor is not None:
@@ -167,6 +167,10 @@ class OnnxGraph:
 
 
 def read_onnx_bytes(data: bytes) -> OnnxGraph:
+    # memoryview: length-delimited slices stay zero-copy, which matters for
+    # the ~0.5 GB speech_tokenizer_v2.onnx (raw_data feeds np.frombuffer
+    # directly; only names get materialized as bytes)
+    data = memoryview(data)
     graph_buf = None
     for field, _wire, val in _fields(data):
         if field == 7:  # ModelProto.graph
