@@ -76,6 +76,10 @@ def _validation_pass(cfg, tr, state, dm, mesh, n_dev, rep):
     from jyutvoice_tpu.dist import shard_batch
     from jyutvoice_tpu.train.step import loss_fn
 
+    # one jit wrapper for the whole pass — a fresh jax.jit(loss_fn) per
+    # batch defeats the compile cache (function identity keys it)
+    jit_loss = jax.jit(loss_fn, static_argnums=(1, 2, 5))
+    key = jax.device_put(jax.random.PRNGKey(0), rep)
     val_metrics = []
     for vbatch in dm.valid_batches():
         b = vbatch["x"].shape[0]
@@ -89,11 +93,7 @@ def _validation_pass(cfg, tr, state, dm, mesh, n_dev, rep):
             {k: jnp.asarray(v) for k, v in vbatch.items()}, mesh
         )
         # eval mode: dropout off, like the reference's model.eval()
-        _, m = jax.jit(loss_fn, static_argnums=(1, 2, 5))(
-            state.params, cfg.tts, tr,
-            jax.device_put(jax.random.PRNGKey(0), rep), vbatch,
-            False,
-        )
+        _, m = jit_loss(state.params, cfg.tts, tr, key, vbatch, False)
         val_metrics.append({k: float(v) for k, v in m.items()})
     if not val_metrics:
         return None
