@@ -215,6 +215,12 @@ class TrainConfig:
     cond_prob: float = 0.5
     cond_max_ratio: float = 0.3
     precision: str = "bf16"  # activations; params/optimizer state stay f32
+    # optional main LR schedule after warmup (reference SequentialLR hook,
+    # baselightningmodule.py:38-60; the live config has scheduler: null):
+    # None | "cosine" | "exponential"
+    scheduler: Optional[str] = None
+    scheduler_decay_steps: int = 100_000  # cosine horizon
+    scheduler_gamma: float = 0.999995  # exponential per-step decay
 
 
 @dataclasses.dataclass(frozen=True)

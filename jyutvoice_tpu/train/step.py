@@ -57,15 +57,36 @@ def warmup_schedule(lr: float, warmup_steps: int) -> optax.Schedule:
     return sched
 
 
+def lr_schedule(train_cfg: TrainConfig) -> optax.Schedule:
+    """Warmup, optionally followed by a main schedule — the SequentialLR
+    composition hook of the reference (baselightningmodule.py:38-60; the
+    shipped config runs warmup-only, scheduler: null)."""
+    warm = warmup_schedule(train_cfg.learning_rate, train_cfg.warmup_steps)
+    kind = train_cfg.scheduler
+    if kind in (None, "", "none"):
+        return warm
+    if kind == "cosine":
+        main = optax.cosine_decay_schedule(
+            train_cfg.learning_rate, train_cfg.scheduler_decay_steps
+        )
+    elif kind == "exponential":
+        main = optax.exponential_decay(
+            train_cfg.learning_rate,
+            transition_steps=1,
+            decay_rate=train_cfg.scheduler_gamma,
+        )
+    else:
+        raise ValueError(f"unknown scheduler {kind!r}")
+    return optax.join_schedules([warm, main], [train_cfg.warmup_steps])
+
+
 def make_optimizer(params, tts_cfg: TTSConfig, train_cfg: TrainConfig):
     mask = trainable_mask(params, tts_cfg)
     labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
     tx = optax.chain(
         optax.clip_by_global_norm(train_cfg.gradient_clip_val),
         optax.adamw(
-            learning_rate=warmup_schedule(
-                train_cfg.learning_rate, train_cfg.warmup_steps
-            ),
+            learning_rate=lr_schedule(train_cfg),
             weight_decay=train_cfg.weight_decay,
         ),
     )
@@ -120,7 +141,7 @@ def loss_fn(params, tts_cfg: TTSConfig, train_cfg: TrainConfig, rng, batch,
 def make_train_step(tts_cfg: TTSConfig, train_cfg: TrainConfig, tx):
     """Returns a jittable (state, rng, batch) -> (state, metrics) step."""
 
-    sched = warmup_schedule(train_cfg.learning_rate, train_cfg.warmup_steps)
+    sched = lr_schedule(train_cfg)
 
     def step(state: TrainState, rng: Array, batch) -> Tuple[TrainState, dict]:
         (_, metrics), grads = jax.value_and_grad(

@@ -303,3 +303,33 @@ def test_train_cli_validate_only(tmp_path):
     assert avg is not None
     for k in ("loss", "dur_loss", "prior_loss", "diff_loss"):
         assert np.isfinite(avg[k])
+
+
+def test_lr_schedule_composition():
+    """Warmup-only matches the shipped config; cosine/exponential compose
+    after warmup (reference SequentialLR hook, baselightningmodule.py:38-60)."""
+    import dataclasses
+
+    from jyutvoice_tpu.config import TrainConfig
+    from jyutvoice_tpu.train.step import lr_schedule
+
+    base = TrainConfig(learning_rate=1e-3, warmup_steps=10)
+    warm = lr_schedule(base)
+    assert float(warm(0)) == pytest.approx(1e-4)
+    assert float(warm(9)) == pytest.approx(1e-3)
+    assert float(warm(1000)) == pytest.approx(1e-3)  # constant after warmup
+
+    cos = lr_schedule(dataclasses.replace(
+        base, scheduler="cosine", scheduler_decay_steps=100))
+    assert float(cos(9)) == pytest.approx(1e-3)
+    assert float(cos(10)) == pytest.approx(1e-3)  # main schedule starts at lr
+    assert float(cos(60)) < 1e-3
+    assert float(cos(110)) == pytest.approx(0.0)
+
+    exp = lr_schedule(dataclasses.replace(
+        base, scheduler="exponential", scheduler_gamma=0.9))
+    assert float(exp(10)) == pytest.approx(1e-3)
+    assert float(exp(20)) == pytest.approx(1e-3 * 0.9**10)
+
+    with pytest.raises(ValueError):
+        lr_schedule(dataclasses.replace(base, scheduler="bogus"))
