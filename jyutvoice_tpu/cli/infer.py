@@ -60,7 +60,12 @@ def _load_params(path: str, kind: str, cfg):
 
 def main(argv=None, cfg=None):
     parser = argparse.ArgumentParser(description="JyutVoice-TPU inference")
-    parser.add_argument("--text", required=True)
+    parser.add_argument("--text", default=None)
+    parser.add_argument("--text-file", default=None,
+                        help="batch mode: one utterance per line, synthesized "
+                             "in batched groups; outputs <output-stem>_NNNN.wav")
+    parser.add_argument("--batch-size", type=int, default=8,
+                        help="batch-mode group size")
     parser.add_argument("--lang", default="yue",
                         choices=["yue", "zh", "en", "multilingual"])
     parser.add_argument("--phone", default=None,
@@ -121,7 +126,7 @@ def main(argv=None, cfg=None):
             flow_encoder_cfg=cfg.flow_encoder,
             campplus_onnx=args.campplus_onnx,
             tokenizer_onnx=args.tokenizer_onnx,
-        tokenizer_torch=args.tokenizer_torch,
+            tokenizer_torch=args.tokenizer_torch,
         )
         audio, sr = load_wav(args.ref_audio)
         feats = extractor(audio, sr)
@@ -134,13 +139,50 @@ def main(argv=None, cfg=None):
             )
             prompt_feat = None
 
-    text = args.text
-    if args.lang in ("yue", "zh") and args.phone is None:
-        from jyutvoice_tpu.text.word_seg import word_seg
+    if (args.text is None) == (args.text_file is None):
+        parser.error("exactly one of --text / --text-file is required")
 
-        text = word_seg(text)
+    def _seg(t: str) -> str:
+        if args.lang in ("yue", "zh") and args.phone is None:
+            from jyutvoice_tpu.text.word_seg import word_seg
+
+            return word_seg(t)
+        return t
 
     synth = Synthesizer(cfg, params_tts, params_hift)
+
+    if args.text_file:
+        import os
+
+        with open(args.text_file, encoding="utf-8") as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        stem, ext = os.path.splitext(args.output)
+        ext = ext or ".wav"
+        n_done = 0
+        for lo in range(0, len(lines), args.batch_size):
+            group = lines[lo : lo + args.batch_size]
+            items = []
+            for ln in group:
+                # optional per-line explicit phonetics: "text|jyutping"
+                text, _, phone = (s.strip() for s in ln.partition("|"))
+                items.append(
+                    {"text": text if phone else _seg(text),
+                     "lang": args.lang, "phone": phone or None,
+                     "spk_embed": spk_embed,
+                     "prompt_feat": prompt_feat, "prompt_h": prompt_h}
+                )
+            results = synth.synthesize_batch(
+                items, n_timesteps=args.n_timesteps,
+                length_scale=args.length_scale, return_mel=False,
+            )
+            for res in results:
+                path = f"{stem}_{n_done:04d}{ext}"
+                save_wav(path, res.wav)
+                n_done += 1
+        log.info("wrote %d wavs to %s_*%s", n_done, stem, ext)
+        return
+
+    text = _seg(args.text)
     if args.stream:
         import time
 

@@ -217,3 +217,28 @@ def test_infer_cli_stream_smoke(tmp_path):
     with wave.open(out, "rb") as f:
         assert f.getframerate() == 24000
         assert f.getnframes() > 0
+
+
+def test_infer_cli_batch_file(tmp_path):
+    """--text-file batch mode: N lines -> N wavs via synthesize_batch."""
+    import wave
+
+    from jyutvoice_tpu.cli.infer import main
+
+    tf = tmp_path / "lines.txt"
+    tf.write_text(
+        "佢|keoi5\n你好|nei5 hou2\n佢 係邊 個|keoi5 hai6 bin1 go3\n",
+        encoding="utf-8",
+    )
+    out = str(tmp_path / "batch.wav")
+    main(
+        [
+            "--text-file", str(tf), "--lang", "yue", "--output", out,
+            "--n-timesteps", "2", "--batch-size", "2",
+        ],
+        cfg=TINY,
+    )
+    for i in range(3):
+        with wave.open(str(tmp_path / f"batch_{i:04d}.wav"), "rb") as f:
+            assert f.getframerate() == 24000
+            assert f.getnframes() > 0
