@@ -45,10 +45,23 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=42,
                         help="seed for the random (trainable) half of "
                              "tts_init.npz")
+    parser.add_argument("--export-torch", nargs=2, metavar=("NPZ", "CKPT"),
+                        default=None,
+                        help="reverse interop: convert a trained tts .npz "
+                             "back to a reference-loadable torch .ckpt")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     from jyutvoice_tpu.weights.provision import provision
+
+    if args.export_torch:
+        from jyutvoice_tpu.weights.provision import load_pytree_npz
+        from jyutvoice_tpu.weights.torch_export import save_torch_checkpoint
+
+        npz_path, ckpt_path = args.export_torch
+        save_torch_checkpoint(ckpt_path, load_pytree_npz(npz_path))
+        log.info("exported %s -> %s (reference-loadable)", npz_path, ckpt_path)
+        return {"torch_ckpt": ckpt_path}
 
     written = provision(
         flow_pt=args.flow_pt,
