@@ -305,35 +305,70 @@ class Synthesizer:
         else:
             spk_raw = jnp.asarray(spk_embed.reshape(1, -1), self.dtype)
 
-        # text encoder + durations + expand -> mu_y for the whole utterance
+        # text encoder + durations + expand -> mu_y for the whole utterance.
+        # Jitted per bucket: the eager form cost dozens of per-op tunnel
+        # dispatches before the first chunk could start.
         cfg = self.cfg.tts
-        enc = te_mod.apply_text_encoder(
-            self.params_tts["encoder"], cfg.encoder, x, jnp.asarray(n),
-            lang_ids, tone, word_pos, syllable_pos, spk_raw,
-        )
-        from jyutvoice_tpu.models import duration as dur_mod
+        key_enc = ("stream_enc", t_text)
+        if key_enc not in self._mel_fns:
 
-        logw = dur_mod.apply_duration_predictor(
-            self.params_tts["dp"], cfg.dp, enc.x, enc.x_mask, spk_raw
-        )
-        w_ceil = jnp.ceil(jnp.exp(logw) * enc.x_mask) * length_scale
-        y_len = int(np.maximum(np.asarray(jnp.sum(w_ceil)), 1.0))
-        t_mel = int(np.ceil(y_len / chunk_frames)) * chunk_frames
-        y_mask = core.sequence_mask(
-            jnp.asarray([y_len], jnp.int32), t_mel
-        ).astype(jnp.float32)
-        attn_mask = enc.x_mask[:, :, 0][:, :, None] * y_mask[:, None, :]
-        attn = core.generate_path(w_ceil[:, :, 0], attn_mask)
-        mu_y = np.asarray(jnp.einsum("btm,btf->bmf", attn, enc.mu))[0, :y_len]
+            @jax.jit
+            def enc_fn(params, x, n, lang, tone, wp, sp, spk_raw, ls):
+                from jyutvoice_tpu.models import duration as dur_mod
 
-        c = _l2_normalize(spk_raw, axis=1)
-        c = np.asarray(core.linear(self.params_tts["spk_embed_affine_layer"], c))[0]
+                enc = te_mod.apply_text_encoder(
+                    params["encoder"], cfg.encoder, x, n, lang, tone, wp, sp,
+                    spk_raw,
+                )
+                logw = dur_mod.apply_duration_predictor(
+                    params["dp"], cfg.dp, enc.x, enc.x_mask, spk_raw
+                )
+                w_ceil = jnp.ceil(jnp.exp(logw) * enc.x_mask) * ls
+                c = _l2_normalize(spk_raw, axis=1)
+                c = core.linear(params["spk_embed_affine_layer"], c)
+                return w_ceil, enc.mu, enc.x_mask, c
+
+            self._mel_fns[key_enc] = enc_fn
+        w_ceil, mu, x_mask, c = self._mel_fns[key_enc](
+            self.params_tts, x, jnp.asarray(n), lang_ids, tone, word_pos,
+            syllable_pos, spk_raw, jnp.float32(length_scale),
+        )
+        w_np = np.asarray(w_ceil)  # one readback for the duration decision
+        y_len = int(max(w_np.sum(), 1.0))
+        t_mel = bkt.pick_bucket(
+            int(np.ceil(y_len / chunk_frames)) * chunk_frames, bkt.MEL_BUCKETS
+        )
+        key_exp = ("stream_expand", t_text, t_mel)
+        if key_exp not in self._mel_fns:
+
+            @jax.jit
+            def expand_fn(w_ceil, mu, x_mask, y_len):
+                y_mask = core.sequence_mask(
+                    y_len[None], t_mel
+                ).astype(jnp.float32)
+                attn_mask = x_mask[:, :, 0][:, :, None] * y_mask[:, None, :]
+                attn = core.generate_path(w_ceil[:, :, 0], attn_mask)
+                return jnp.einsum("btm,btf->bmf", attn, mu)
+
+            self._mel_fns[key_exp] = expand_fn
+        mu_y = np.asarray(
+            self._mel_fns[key_exp](
+                w_ceil, mu, x_mask, jnp.asarray(y_len, jnp.int32)
+            )
+        )[0, :y_len]
+        c = np.asarray(c)[0]
 
         p_len = 0 if prompt_feat is None else prompt_feat.shape[0]
-        ss = StreamingSynthesizer(
-            self.cfg, self.params_tts, self.params_hift,
-            chunk_frames=chunk_frames, prompt_frames=p_len,
-        )
+        # cache the streaming synthesizer: a fresh instance per call would
+        # re-create its jit wrapper and re-trace the fused chunk graph
+        # every utterance (measured seconds per call)
+        skey = ("stream_ss", chunk_frames, p_len)
+        if skey not in self._mel_fns:
+            self._mel_fns[skey] = StreamingSynthesizer(
+                self.cfg, self.params_tts, self.params_hift,
+                chunk_frames=chunk_frames, prompt_frames=p_len,
+            )
+        ss = self._mel_fns[skey]
         total = 0
         for chunk in ss.stream(mu_y, c, prompt_feat, prompt_h):
             emit = min(len(chunk), y_len * 480 - total)
