@@ -85,3 +85,28 @@ def test_pipeline_synthesize_streaming(setup):
         "佢 係邊 個", lang="yue", phone="keoi5 hai6 bin1 go3", n_timesteps=2
     )
     assert wav.shape[0] == res.mel_frames * 480
+
+
+def test_pipeline_synthesize_streaming_with_prompt(setup):
+    """End-to-end streaming with a cloning prompt; repeated calls reuse the
+    cached StreamingSynthesizer (same (chunk, p_len) key)."""
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    params, params_hift = setup
+    synth = Synthesizer(TINY, params, params_hift)
+    rng = np.random.default_rng(3)
+    p = 24
+    kw = dict(
+        lang="yue", phone="keoi5 hai6 bin1 go3", chunk_frames=50,
+        spk_embed=rng.standard_normal(192).astype(np.float32),
+        prompt_feat=rng.standard_normal((p, 80)).astype(np.float32),
+        prompt_h=rng.standard_normal((p, 80)).astype(np.float32),
+    )
+    wav1 = np.concatenate(list(synth.synthesize_streaming("佢 係邊 個", **kw)))
+    assert np.isfinite(wav1).all() and len(wav1) % 480 == 0
+    key = ("stream_ss", 50, p)
+    assert key in synth._mel_fns
+    ss = synth._mel_fns[key]
+    wav2 = np.concatenate(list(synth.synthesize_streaming("佢 係邊 個", **kw)))
+    assert synth._mel_fns[key] is ss  # reused, not re-created
+    np.testing.assert_array_equal(wav1, wav2)
