@@ -200,6 +200,7 @@ def main(argv=None, cfg=None):
                 prompt_h=prompt_h,
                 chunk_frames=args.chunk_frames,
                 length_scale=args.length_scale,
+                n_timesteps=args.n_timesteps,
             )
         ):
             if i == 0:

@@ -74,11 +74,10 @@ def _validation_pass(cfg, tr, state, dm, mesh, n_dev, rep):
     import jax.numpy as jnp
 
     from jyutvoice_tpu.dist import shard_batch
-    from jyutvoice_tpu.train.step import loss_fn
+    from jyutvoice_tpu.train.step import jit_loss_fn
 
-    # one jit wrapper for the whole pass — a fresh jax.jit(loss_fn) per
-    # batch defeats the compile cache (function identity keys it)
-    jit_loss = jax.jit(loss_fn, static_argnums=(1, 2, 5))
+    # process-wide wrapper: re-traces neither per batch nor per epoch
+    jit_loss = jit_loss_fn()
     key = jax.device_put(jax.random.PRNGKey(0), rep)
     val_metrics = []
     for vbatch in dm.valid_batches():

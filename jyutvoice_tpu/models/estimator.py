@@ -153,11 +153,14 @@ def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
             num_left_chunks=ctx["num_left_chunks"],
         ).reshape(b, n_heads, t, d)
         return maybe_linear(p["o"], attention.merge_heads(out))
-    # bf16 score/prob materialization is bit-identical on TPU (f32 matmuls
-    # already run as bf16 MXU passes) and halves attention HBM traffic.
-    # Only pays once the (2B,H,T,T) scores dominate: measured 2.5x on the
-    # 10-step solve at 2B=16/T=512 but a ~2-4% loss at 2B<=8, so gate on
-    # total query rows; CPU keeps true-f32 scores for parity tests.
+    # bf16 score/prob materialization halves attention HBM traffic at a
+    # ~2e-4 abs rounding shift per op (see plain_mha docstring — NOT
+    # bit-identical, but far inside the 1e-2 mel-parity budget). Only pays
+    # once the (2B,H,T,T) scores dominate: measured 2.5x on the 10-step
+    # solve at 2B=16/T=512 but a ~2-4% loss at 2B<=8, so gate on total
+    # query rows; CPU keeps true-f32 scores for parity tests. Note the
+    # gate makes large-batch output differ from small-batch output by the
+    # rounding shift (a deliberate throughput/determinism trade).
     compact = (
         jax.default_backend() == "tpu" and x.shape[0] * x.shape[1] >= 8192
     )

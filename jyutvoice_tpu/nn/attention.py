@@ -36,11 +36,14 @@ def sdpa(
     q: (B, H, Tq, D), k/v: (B, H, Tk, D), bias: broadcastable to
     (B, H, Tq, Tk) additive (0 keep / -1e10 drop). Returns (B, H, Tq, D).
 
-    compact_scores=True materializes scores/probs in bfloat16 — on TPU this
-    is BIT-IDENTICAL to the f32 path (f32 matmuls already run as bf16 MXU
-    passes, softmax still reduces in f32) while halving the (B,H,Tq,Tk) HBM
-    traffic: 24% faster at 2B=16, T=512 (scripts/profile_round2_experiments
-    .py). Leave False on CPU where f32 matmuls are true f32.
+    compact_scores=True materializes scores/probs in bfloat16, halving the
+    (B,H,Tq,Tk) HBM traffic (24% faster at 2B=16, T=512,
+    scripts/profile_round2_experiments.py). NOT bit-identical: the f32
+    path's matmuls use bf16 MXU passes but keep f32 ACCUMULATED outputs;
+    rounding those to bf16 shifts this op's output by up to ~2e-4 abs
+    (measured), i.e. well under the mel-parity budget but batch-dependent
+    when gated by size (estimator._attend). Softmax still reduces in f32.
+    Leave False on CPU parity paths.
     """
     d = q.shape[-1]
     scale = (1.0 / math.sqrt(d)) if scale is None else scale

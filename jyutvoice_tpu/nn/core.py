@@ -175,7 +175,10 @@ def conv1d_auto(
     k = p["w"].shape[0]
     pad_ok = (
         k == 1
-        or padding in ("causal", "same_torch")
+        or padding == "causal"  # left pad (k-1)*d: exact for any k
+        # even k with same_torch pads (k//2, k//2) = k*d total -> output
+        # t+d, which the (k-1)*d-total-pad matmul form cannot express
+        or (padding == "same_torch" and k % 2 == 1)
         or (
             isinstance(padding, tuple)
             and padding[0] + padding[1] == (k - 1) * dilation

@@ -236,6 +236,7 @@ class PromptExtractor:
         # use when tokens arrive as a stream or prompts vary wildly in length
         self.streaming_encoder = streaming_encoder
         self.streaming_t_max = streaming_t_max
+        self._stream_encoder = None
 
     def __call__(self, audio: np.ndarray, sr: int) -> PromptFeatures:
         import jax.numpy as jnp
@@ -248,14 +249,19 @@ class PromptExtractor:
         prompt_h = None
         if tokens is not None and self.flow_encoder_params is not None:
             if self.streaming_encoder:
-                from jyutvoice_tpu.pipeline.streaming import (
-                    StreamingTokenEncoder,
-                )
+                if self._stream_encoder is None:
+                    from jyutvoice_tpu.pipeline.streaming import (
+                        StreamingTokenEncoder,
+                    )
 
-                enc = StreamingTokenEncoder(
-                    self.flow_encoder_params, self.flow_encoder_cfg,
-                    t_max_tokens=self.streaming_t_max,
-                )
+                    # cached: a fresh encoder per call would re-create its
+                    # jit wrapper and re-trace the chunk graph every prompt
+                    self._stream_encoder = StreamingTokenEncoder(
+                        self.flow_encoder_params, self.flow_encoder_cfg,
+                        t_max_tokens=self.streaming_t_max,
+                    )
+                enc = self._stream_encoder
+                enc.reset()
                 prompt_h = np.concatenate(
                     [enc.push(tokens), enc.flush()], axis=0
                 )

@@ -29,7 +29,7 @@ import numpy as np
 from jyutvoice_tpu.config import JyutVoiceConfig
 from jyutvoice_tpu.models import cfm as cfm_mod
 from jyutvoice_tpu.models import hift as hift_mod
-from jyutvoice_tpu.weights.noise import rand_noise
+from jyutvoice_tpu.weights.noise import rand_noise_extended
 
 OVERLAP = 34  # frames carried between chunks (flow_matching.py:203)
 
@@ -46,17 +46,22 @@ class StreamingTokenEncoder:
     """
 
     def __init__(self, params, cfg, t_max_tokens: int, chunk_tokens: int = 0):
-        from jyutvoice_tpu.models.flow_encoder import init_stream_state
-
         self.params = params
         self.cfg = cfg
         self.chunk = chunk_tokens or cfg.static_chunk_size
         # capacity must be a chunk multiple (see init_stream_state docstring)
         self.t_max = ((t_max_tokens + self.chunk - 1) // self.chunk) * self.chunk
-        self.state = init_stream_state(cfg, self.t_max, chunk=self.chunk)
+        self._step = jax.jit(self._raw_step, static_argnums=(1,))
+        self.reset()
+
+    def reset(self) -> None:
+        """Start a new stream, keeping the compiled step graph (the jit
+        wrapper is identity-keyed — re-creating the encoder re-traces)."""
+        from jyutvoice_tpu.models.flow_encoder import init_stream_state
+
+        self.state = init_stream_state(self.cfg, self.t_max, chunk=self.chunk)
         self._buf: list = []  # pending tokens not yet encoded
         self._consumed = 0
-        self._step = jax.jit(self._raw_step, static_argnums=(1,))
 
     @staticmethod
     def _raw_step(params, cfg, tokens, n, ctx, n_ctx, state):
@@ -67,6 +72,15 @@ class StreamingTokenEncoder:
         )
 
     def _encode(self, toks: np.ndarray, n: int, ctx: np.ndarray, n_ctx: int):
+        if self._consumed + n > self.t_max:
+            # the fixed-capacity KV cache would CLAMP the write offset
+            # (lax.dynamic_update_slice semantics) and silently corrupt the
+            # previous chunk — refuse loudly instead
+            raise ValueError(
+                f"stream exceeds capacity: {self._consumed + n} tokens > "
+                f"t_max={self.t_max}; construct StreamingTokenEncoder with a "
+                "larger t_max_tokens (or reset() between prompts)"
+            )
         c, pre = self.chunk, self.cfg.pre_lookahead_len
         tok_pad = np.zeros((1, c), np.int32)
         tok_pad[0, :n] = toks[:n]
@@ -262,8 +276,10 @@ class StreamingSynthesizer:
             assert prompt_feat.shape[0] >= p
         # seed-0 noise indexed by ABSOLUTE frame position (prompt then mel),
         # matching the non-streaming path (reference flow_matching.py:353-354:
-        # rand_noise[:, :, :T] — position-indexed, not chunk-relative)
-        noise_full = rand_noise(p + t_total)[0]  # (p + T, 80)
+        # rand_noise[:, :, :T] — position-indexed, not chunk-relative);
+        # beyond the reference's 15000-frame cap a deterministic PRNG
+        # stream extends it, so streaming has no 300 s limit
+        noise_full = rand_noise_extended(p + t_total)[0]  # (p + T, 80)
 
         # host-side z/mu overlap cache (assembled into each segment); the
         # mel/source carries (held, voc tail, HiFT source) live on-device

@@ -120,8 +120,12 @@ class Synthesizer:
                 if pcm16:
                     # on-device PCM16: halves the host-readback bytes (the
                     # dominant serving cost over a tunneled link) and is the
-                    # wav-file-native format anyway
-                    wav = jnp.round(wav * 32767.0).astype(jnp.int16)
+                    # wav-file-native format anyway. hift already clips to
+                    # +/-audio_limit (0.99); the clip here makes int16
+                    # range-safety independent of that invariant.
+                    wav = jnp.round(
+                        jnp.clip(wav, -1.0, 1.0) * 32767.0
+                    ).astype(jnp.int16)
                 return wav
 
             self._voc_fns[key] = f
@@ -283,6 +287,7 @@ class Synthesizer:
         prompt_h: Optional[np.ndarray] = None,
         chunk_frames: int = 100,
         length_scale: float = 1.0,
+        n_timesteps: int = 10,
     ):
         """Generator of 24 kHz waveform chunks (chunk_frames*480 samples).
 
@@ -362,11 +367,12 @@ class Synthesizer:
         # cache the streaming synthesizer: a fresh instance per call would
         # re-create its jit wrapper and re-trace the fused chunk graph
         # every utterance (measured seconds per call)
-        skey = ("stream_ss", chunk_frames, p_len)
+        skey = ("stream_ss", chunk_frames, p_len, n_timesteps)
         if skey not in self._mel_fns:
             self._mel_fns[skey] = StreamingSynthesizer(
                 self.cfg, self.params_tts, self.params_hift,
                 chunk_frames=chunk_frames, prompt_frames=p_len,
+                n_timesteps=n_timesteps,
             )
         ss = self._mel_fns[skey]
         total = 0

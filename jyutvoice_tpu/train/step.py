@@ -138,6 +138,21 @@ def loss_fn(params, tts_cfg: TTSConfig, train_cfg: TrainConfig, rng, batch,
     return losses.total, metrics
 
 
+_jit_loss = None
+
+
+def jit_loss_fn():
+    """Process-wide jitted loss_fn (static cfgs + train_dropout flag).
+
+    jax.jit caches by wrapper identity, so callers that build their own
+    wrapper per epoch/invocation re-trace every time; share this one.
+    """
+    global _jit_loss
+    if _jit_loss is None:
+        _jit_loss = jax.jit(loss_fn, static_argnums=(1, 2, 5))
+    return _jit_loss
+
+
 def make_train_step(tts_cfg: TTSConfig, train_cfg: TrainConfig, tx):
     """Returns a jittable (state, rng, batch) -> (state, metrics) step."""
 

@@ -152,3 +152,23 @@ def test_streaming_token_encoder_pipeline(params):
     streamed = np.concatenate(outs, axis=0)
     assert streamed.shape == full.shape
     np.testing.assert_allclose(streamed, full, rtol=2e-4, atol=2e-5)
+
+
+def test_streaming_token_encoder_capacity_guard(params):
+    """Pushing past t_max must raise (the fixed-capacity KV cache would
+    otherwise CLAMP the write offset and silently corrupt the stream)."""
+    import numpy as np
+    import pytest
+
+    from jyutvoice_tpu.pipeline.streaming import StreamingTokenEncoder
+
+    enc = StreamingTokenEncoder(params, CFG, t_max_tokens=2 * CFG.static_chunk_size)
+    c = enc.chunk
+    rng = np.random.default_rng(0)
+    enc.push(rng.integers(0, 10, 2 * c + CFG.pre_lookahead_len))
+    with pytest.raises(ValueError, match="capacity"):
+        enc.flush()  # the held-back tail would write past t_max
+    # reset() reuses the compiled step and starts clean
+    enc.reset()
+    out = enc.push(rng.integers(0, 10, c + CFG.pre_lookahead_len))
+    assert out.shape[0] == c * CFG.upsample_stride

@@ -265,3 +265,35 @@ def test_conv_transpose_matmul_matches_conv():
         np.testing.assert_allclose(
             np.asarray(auto), np.asarray(ref), rtol=1e-5, atol=1e-5,
         )
+
+
+def test_conv1d_auto_even_kernel_same_torch_keeps_conv_semantics():
+    """k=2 with same_torch pads (1,1) -> output t+1; the matmul lowering
+    cannot express that, so conv1d_auto must fall back to conv1d."""
+    import jax
+
+    from jyutvoice_tpu.nn import core
+
+    p = core.conv1d_init(jax.random.PRNGKey(0), 4, 4, 2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 9, 4)),
+                    jnp.float32)
+    ref = core.conv1d(p, x, padding="same_torch")
+    auto = core.conv1d_auto(p, x, padding="same_torch")
+    assert auto.shape == ref.shape  # (1, 10, 4)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), rtol=1e-6)
+
+
+def test_rand_noise_cap_and_extension():
+    from jyutvoice_tpu.weights.noise import (
+        _FRAMES,
+        rand_noise,
+        rand_noise_extended,
+    )
+
+    with pytest.raises(ValueError):
+        rand_noise(_FRAMES + 1)
+    a = rand_noise_extended(_FRAMES + 7)
+    b = rand_noise_extended(_FRAMES + 30)
+    # seed-0 prefix preserved; extension is position-indexed (prefix-stable)
+    np.testing.assert_array_equal(a[0, :_FRAMES], rand_noise(_FRAMES)[0])
+    np.testing.assert_array_equal(a[0, _FRAMES:], b[0, _FRAMES:_FRAMES + 7])

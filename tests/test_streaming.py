@@ -104,7 +104,7 @@ def test_pipeline_synthesize_streaming_with_prompt(setup):
     )
     wav1 = np.concatenate(list(synth.synthesize_streaming("佢 係邊 個", **kw)))
     assert np.isfinite(wav1).all() and len(wav1) % 480 == 0
-    key = ("stream_ss", 50, p)
+    key = ("stream_ss", 50, p, 10)
     assert key in synth._mel_fns
     ss = synth._mel_fns[key]
     wav2 = np.concatenate(list(synth.synthesize_streaming("佢 係邊 個", **kw)))
