@@ -122,10 +122,21 @@ def apply_flow_encoder(
     tokens: Array,
     token_lengths: Array,
     streaming: bool = False,
+    exact_pad: bool = False,
 ) -> Tuple[Array, Array]:
     """tokens (B, T) int32 -> (h (B, 2T, 80), out_lengths (B,)).
 
     reference infer.py:62-82 + upsample_encoder.py:301-375.
+
+    exact_pad=True re-zeros hidden states past each row's length at the two
+    places padded garbage leaks into valid positions: after the embed
+    (linear bias + LayerNorm make pad positions nonzero, which the
+    lookahead conv then reads across the boundary) and before the upsample
+    conv. With it, a zero-padded bucketed run equals the exact-length run
+    (enables per-bucket jit for prompt extraction / batched prep). Default
+    False matches the reference's own padded forward byte-for-byte (it
+    re-masks at neither place, upsample_encoder.py:336-355), which is what
+    the parity tests pin.
     """
     b, t = tokens.shape
     mask = core.sequence_mask(token_lengths, t)  # (B, T) bool
@@ -133,6 +144,8 @@ def apply_flow_encoder(
     emb = emb * mask[..., None].astype(emb.dtype)
 
     h, pos_emb = _embed(p["embed"], emb)
+    if exact_pad:
+        h = h * mask[..., None].astype(h.dtype)
     attn_mask = core.chunk_attn_mask(
         mask, cfg.static_chunk_size if streaming else 0
     )
@@ -142,6 +155,8 @@ def apply_flow_encoder(
     for layer in p["encoders"]:
         h = apply_conformer_layer(layer, h, pos_emb, attn_bias, cfg.attention_heads)
 
+    if exact_pad:
+        h = h * mask[..., None].astype(h.dtype)
     h = _upsample(p["up_conv"], h, cfg.upsample_stride)
     up_lengths = token_lengths * cfg.upsample_stride
     t_up = h.shape[1]

@@ -237,6 +237,7 @@ class PromptExtractor:
         self.streaming_encoder = streaming_encoder
         self.streaming_t_max = streaming_t_max
         self._stream_encoder = None
+        self._fe_fn = None
 
     def __call__(self, audio: np.ndarray, sr: int) -> PromptFeatures:
         import jax.numpy as jnp
@@ -266,17 +267,31 @@ class PromptExtractor:
                     [enc.push(tokens), enc.flush()], axis=0
                 )
             else:
-                from jyutvoice_tpu.models.flow_encoder import (
-                    apply_flow_encoder,
-                )
+                if self._fe_fn is None:
+                    import jax
 
-                h, h_len = apply_flow_encoder(
+                    from jyutvoice_tpu.models.flow_encoder import (
+                        apply_flow_encoder,
+                    )
+
+                    fecfg = self.flow_encoder_cfg
+                    # exact_pad: bucketed-padded run == exact-length run,
+                    # so one compiled graph per token bucket (not one per
+                    # prompt length, and not eager per-op dispatch)
+                    self._fe_fn = jax.jit(
+                        lambda p, t, n: apply_flow_encoder(
+                            p, fecfg, t, n, exact_pad=True
+                        )
+                    )
+                tb = _time_bucket(len(tokens), base=64)
+                tok_pad = np.zeros((1, tb), np.int32)
+                tok_pad[0, : len(tokens)] = tokens
+                h, h_len = self._fe_fn(
                     self.flow_encoder_params,
-                    self.flow_encoder_cfg,
-                    jnp.asarray(tokens[None]),
+                    jnp.asarray(tok_pad),
                     jnp.asarray([len(tokens)], jnp.int32),
                 )
-                prompt_h = np.asarray(h)[0, : int(h_len[0])]
+                prompt_h = np.asarray(h)[0, : int(np.asarray(h_len)[0])]
             # align prompt mel and hidden lengths (token_mel_ratio trim,
             # reference data prep semantics)
             t = min(prompt_feat.shape[0], prompt_h.shape[0])

@@ -172,3 +172,34 @@ def test_streaming_token_encoder_capacity_guard(params):
     enc.reset()
     out = enc.push(rng.integers(0, 10, c + CFG.pre_lookahead_len))
     assert out.shape[0] == c * CFG.upsample_stride
+
+
+def test_exact_pad_bucket_invariance(params):
+    """exact_pad=True: zero-padded bucketed run == exact-length run on the
+    valid prefix (enables per-bucket jit in PromptExtractor); and at exact
+    length it is identical to the default (reference-padded) semantics."""
+    import numpy as np
+
+    from jyutvoice_tpu.models.flow_encoder import apply_flow_encoder
+
+    rng = np.random.default_rng(0)
+    for n, t_pad in [(17, 32), (9, 48)]:
+        toks = rng.integers(1, 50, (1, n)).astype(np.int32)
+        he, _ = apply_flow_encoder(
+            params, CFG, jnp.asarray(toks), jnp.asarray([n], jnp.int32),
+            exact_pad=True,
+        )
+        padded = np.zeros((1, t_pad), np.int32)
+        padded[0, :n] = toks[0]
+        hp, _ = apply_flow_encoder(
+            params, CFG, jnp.asarray(padded), jnp.asarray([n], jnp.int32),
+            exact_pad=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(hp)[0, : 2 * n], np.asarray(he)[0, : 2 * n],
+            rtol=1e-5, atol=1e-5,
+        )
+        hd, _ = apply_flow_encoder(
+            params, CFG, jnp.asarray(toks), jnp.asarray([n], jnp.int32)
+        )
+        np.testing.assert_array_equal(np.asarray(he), np.asarray(hd))

@@ -242,3 +242,38 @@ def test_infer_cli_batch_file(tmp_path):
         with wave.open(str(tmp_path / f"batch_{i:04d}.wav"), "rb") as f:
             assert f.getframerate() == 24000
             assert f.getnframes() > 0
+
+
+def test_prompt_extractor_flow_encoder_bucketed():
+    """The extractor's bucketed exact_pad flow-encoder path equals the
+    direct exact-length forward (tokenizer stubbed to fixed tokens)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jyutvoice_tpu.models.flow_encoder import (
+        apply_flow_encoder,
+        init_flow_encoder,
+    )
+    from jyutvoice_tpu.pipeline.prompt import PromptExtractor
+
+    fe_params = init_flow_encoder(jax.random.PRNGKey(0), TINY.flow_encoder)
+    ex = PromptExtractor(
+        flow_encoder_params=fe_params, flow_encoder_cfg=TINY.flow_encoder
+    )
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(1, TINY.flow_encoder.vocab_size, 23).astype(np.int32)
+    ex.tokenizer = lambda wav16: tokens  # stub: fixed token stream
+
+    audio = rng.uniform(-0.5, 0.5, 24000).astype(np.float32)
+    feats = ex(audio, 24000)
+    assert feats.prompt_h is not None
+
+    h, h_len = apply_flow_encoder(
+        fe_params, TINY.flow_encoder, jnp.asarray(tokens[None]),
+        jnp.asarray([len(tokens)], jnp.int32),
+    )
+    ref = np.asarray(h)[0, : int(np.asarray(h_len)[0])]
+    t = min(len(ref), feats.prompt_h.shape[0])
+    np.testing.assert_allclose(
+        feats.prompt_h[:t], ref[:t], rtol=1e-5, atol=1e-5
+    )
