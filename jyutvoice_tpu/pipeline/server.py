@@ -95,6 +95,10 @@ class ServingEngine:
         self.stats = ServeStats()
         self._q: "queue.SimpleQueue[_Request]" = queue.SimpleQueue()
         self._stop = threading.Event()
+        # guards the stop-check+enqueue in submit() against close(): without
+        # it a submit racing a full close() could enqueue after the drain,
+        # leaving its Future unresolved forever
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="jyutvoice-serving", daemon=True
         )
@@ -112,8 +116,6 @@ class ServingEngine:
         prompt_h: Optional[np.ndarray] = None,
     ) -> Future:
         """Enqueue one utterance; the Future resolves to a SynthesisResult."""
-        if self._stop.is_set():
-            raise RuntimeError("engine is closed")
         req = _Request(
             {
                 "text": text,
@@ -124,7 +126,10 @@ class ServingEngine:
                 "prompt_h": prompt_h,
             }
         )
-        self._q.put(req)
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("engine is closed")
+            self._q.put(req)
         return req.future
 
     def synthesize(self, *args, **kwargs):
@@ -132,8 +137,9 @@ class ServingEngine:
         return self.submit(*args, **kwargs).result()
 
     def close(self, timeout: float = 30.0) -> None:
-        self._stop.set()
-        self._q.put(None)  # wake the worker
+        with self._submit_lock:
+            self._stop.set()
+            self._q.put(None)  # wake the worker
         self._worker.join(timeout)
         # fail anything still queued (raced with close) instead of hanging
         while True:
@@ -179,6 +185,26 @@ class ServingEngine:
                 req.future.set_exception(e)
         self.stats.errors += len(group)
 
+    def _validate(self, group: List[_Request]) -> List[_Request]:
+        """Run the text frontend per request; fail only the bad ones.
+
+        Without this, one malformed request (unknown lang, bad phone string)
+        raising inside the batched dispatch would fail every co-batched
+        future. The prep is cached on the item so synthesize_batch_dispatch
+        does not redo it.
+        """
+        ok = []
+        for req in group:
+            try:
+                it = req.item
+                it["_prepped"] = self.synth.prepare_text(
+                    it["text"], it.get("lang", "yue"), it.get("phone")
+                )
+                ok.append(req)
+            except Exception as e:  # noqa: BLE001 — per-request isolation
+                self._fail([req], e)
+        return ok
+
     def _finalize(self, group: List[_Request], finalize) -> None:
         try:
             results = finalize()
@@ -213,6 +239,9 @@ class ServingEngine:
             t_start = time.perf_counter()
             for req in group:
                 self.stats.total_wait_s += t_start - req.t_submit
+            group = self._validate(group)
+            if not group:
+                continue
             try:
                 finalize = self.synth.synthesize_batch_dispatch(
                     [r.item for r in group],

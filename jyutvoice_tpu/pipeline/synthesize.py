@@ -340,9 +340,14 @@ class Synthesizer:
         )
         w_np = np.asarray(w_ceil)  # one readback for the duration decision
         y_len = int(max(w_np.sum(), 1.0))
-        t_mel = bkt.pick_bucket(
-            int(np.ceil(y_len / chunk_frames)) * chunk_frames, bkt.MEL_BUCKETS
-        )
+        want = int(np.ceil(y_len / chunk_frames)) * chunk_frames
+        if want <= bkt.MEL_BUCKETS[-1]:
+            t_mel = bkt.pick_bucket(want, bkt.MEL_BUCKETS)
+        else:
+            # past the bucket table (the reference's 300 s noise-buffer cap)
+            # streaming keeps going: chunk-multiple exact size, with noise
+            # supplied by rand_noise_extended inside StreamingSynthesizer
+            t_mel = want
         key_exp = ("stream_expand", t_text, t_mel)
         if key_exp not in self._mel_fns:
 
@@ -414,8 +419,12 @@ class Synthesizer:
         b_pad = 1 << max(b_real - 1, 0).bit_length()  # next power of two
         items = list(items) + [items[0]] * (b_pad - b_real)
         b = len(items)
+        # "_prepped" lets a server validate each item's frontend individually
+        # (failing only that request) before co-batching — without re-running
+        # g2p here
         prepped = [
-            self.prepare_text(it["text"], it.get("lang", "yue"), it.get("phone"))
+            it.get("_prepped")
+            or self.prepare_text(it["text"], it.get("lang", "yue"), it.get("phone"))
             for it in items
         ]
         t_text = max(p[2] for p in prepped)

@@ -262,6 +262,16 @@ def campplus_from_onnx_graph(
             if not weights:
                 continue
             w = weights[0]
+            # Orient 2-D weights to (Cout, Cin) from the op's own semantics,
+            # never from shape hints (a square/coincidentally-matching shape
+            # would silently bind a transposed weight): Conv stores
+            # (Cout, Cin, k...); Gemm stores (Cout, Cin) iff transB=1;
+            # MatMul always stores (Cin, Cout).
+            if w.ndim == 2 and (
+                op == "MatMul"
+                or (op == "Gemm" and not node.get("attrs", {}).get("transB", 0))
+            ):
+                w = w.T
             # advance to the next conv slot, folding skipped BNs to identity
             while pos < len(slots) and slots[pos][0] != "conv":
                 fill_identity_bn(slots[pos])

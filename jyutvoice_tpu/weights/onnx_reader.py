@@ -147,16 +147,23 @@ def _parse_node(buf: bytes) -> dict:
             node["name"] = bytes(val).decode("utf-8")
         elif field == 4:
             node["op_type"] = bytes(val).decode("utf-8")
-        elif field == 5:  # AttributeProto — keep tensor attrs (Constant nodes)
+        elif field == 5:  # AttributeProto — tensor attrs (Constant nodes)
+            # and scalar int attrs (Gemm transA/transB, needed to bind
+            # 2-D weights without guessing their orientation)
             attr_name = ""
             tensor = None
-            for afield, _awire, aval in _fields(val):
+            int_val = None
+            for afield, awire, aval in _fields(val):
                 if afield == 1:
                     attr_name = bytes(aval).decode("utf-8")
+                elif afield == 3 and awire == 0:  # AttributeProto.i
+                    int_val = _signed(aval)
                 elif afield == 5:  # AttributeProto.t
                     _tname, tensor = _parse_tensor(aval)
             if tensor is not None:
                 node["attrs"][attr_name] = tensor
+            elif int_val is not None:
+                node["attrs"][attr_name] = int_val
     return node
 
 
