@@ -49,10 +49,41 @@ def main(argv=None):
                         default=None,
                         help="reverse interop: convert a trained tts .npz "
                              "back to a reference-loadable torch .ckpt")
+    parser.add_argument("--verify", action="store_true",
+                        help="end-to-end real-weight verification: strict "
+                             "key-coverage audit -> convert -> synthesize "
+                             "the BASELINE config-1 sentence -> print xRT "
+                             "(+ mel MAE with --reference-mel)")
+    parser.add_argument("--reference-mel", default=None,
+                        help="stored reference mel dump (.npy, (T,80)) to "
+                             "compare against during --verify")
+    parser.add_argument("--verify-text", default=None,
+                        help="override the --verify sentence")
+    parser.add_argument("--verify-lang", default="en")
+    parser.add_argument("--verify-phone", default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     from jyutvoice_tpu.weights.provision import provision
+
+    if args.verify:
+        from jyutvoice_tpu.weights.provision import verify
+
+        kwargs = {}
+        if args.verify_text:
+            kwargs["text"] = args.verify_text
+        return verify(
+            flow_pt=args.flow_pt,
+            hift_pt=args.hift_pt,
+            tts_ckpt=args.tts_ckpt,
+            out_dir=args.out_dir,
+            lang=args.verify_lang,
+            phone=args.verify_phone,
+            reference_mel=args.reference_mel,
+            download=args.download,
+            download_dir=args.download_dir,
+            **kwargs,
+        )
 
     if args.export_torch:
         from jyutvoice_tpu.weights.provision import load_pytree_npz

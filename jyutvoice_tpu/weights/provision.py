@@ -24,6 +24,7 @@ import numpy as np
 
 from jyutvoice_tpu.config import JyutVoiceConfig
 from jyutvoice_tpu.weights import torch_convert as tc
+from jyutvoice_tpu.weights.audit import audit_convert
 
 log = logging.getLogger(__name__)
 
@@ -170,6 +171,7 @@ def provision(
     download: bool = False,
     download_dir: str = "pretrained_models",
     fetch=None,
+    strict_audit: bool = True,
 ) -> Dict[str, str]:
     """Convert reference torch checkpoints into native .npz pytrees.
 
@@ -179,10 +181,32 @@ def provision(
     start: random init + frozen CosyVoice2 decoder (reference pretrain.pt).
     campplus.onnx converts to a native CAM++ pytree (campplus.npz); the
     speech tokenizer converts from a torch checkpoint (s3_tokenizer.npz).
+
+    Every torch conversion runs under the key-coverage audit
+    (weights/audit.py): with strict_audit a single unconsumed source key —
+    a renamed layer, an unexpected extra tensor — aborts provisioning with
+    the full list instead of silently dropping weights.
     """
     cfg = cfg or JyutVoiceConfig()
     os.makedirs(out_dir, exist_ok=True)
     written = {}
+
+    def _audited(convert_fn, sd, *args, **kwargs):
+        params, report = audit_convert(
+            convert_fn, sd, *args, strict=strict_audit, **kwargs
+        )
+        if report.ignored:
+            log.warning(
+                "%s: %d/%d source keys unconsumed (strict_audit=False): %s",
+                convert_fn.__name__, len(report.ignored), report.total,
+                report.ignored[:10],
+            )
+        else:
+            log.info(
+                "%s: consumed %d/%d source keys",
+                convert_fn.__name__, len(report.consumed), report.total,
+            )
+        return params
 
     if download:
         got = download_artifacts(download_dir, fetch=fetch)
@@ -196,20 +220,33 @@ def provision(
     if flow_pt:
         sd = tc.load_torch_state_dict(flow_pt)
         enc_sd, dec_sd = split_flow_state_dict(sd)
-        fe = tc.convert_flow_encoder(enc_sd, cfg.flow_encoder)
+        unsplit = set(sd) - set(enc_sd) - set(dec_sd)
+        if unsplit:
+            msg = (
+                f"flow checkpoint has {len(unsplit)} keys outside the "
+                f"reference's split prefixes "
+                f"(download_pretrain_weights.py:182-200): {sorted(unsplit)[:10]}"
+            )
+            if strict_audit:
+                raise ValueError(msg)
+            log.warning("%s", msg)
+        fe = _audited(tc.convert_flow_encoder, enc_sd, cfg.flow_encoder)
         path = os.path.join(out_dir, "flow_encoder.npz")
         save_pytree_npz(path, fe)
         written["flow_encoder"] = path
-        est = tc.convert_estimator(
-            dec_sd, cfg.tts.cfm.estimator, prefix="decoder.estimator."
-        )
+
+        def _convert_decoder_half(dsd):
+            return {
+                "decoder": tc.convert_estimator(
+                    dsd, cfg.tts.cfm.estimator, prefix="decoder.estimator."
+                ),
+                "spk_embed_affine_layer": tc._linear(
+                    dsd, "spk_embed_affine_layer"
+                ),
+            }
+
+        decoder_tree = _audited(_convert_decoder_half, dec_sd)
         path = os.path.join(out_dir, "flow_decoder.npz")
-        decoder_tree = {
-            "decoder": est,
-            "spk_embed_affine_layer": tc._linear(
-                dec_sd, "spk_embed_affine_layer"
-            ),
-        }
         save_pytree_npz(path, decoder_tree)
         written["flow_decoder"] = path
 
@@ -221,14 +258,14 @@ def provision(
 
     if hift_pt:
         sd = tc.load_torch_state_dict(hift_pt)
-        hp = tc.convert_hift(sd, cfg.hift)
+        hp = _audited(tc.convert_hift, sd, cfg.hift)
         path = os.path.join(out_dir, "hift.npz")
         save_pytree_npz(path, hp)
         written["hift"] = path
 
     if tts_ckpt:
         sd = tc.load_torch_state_dict(tts_ckpt)
-        tts = tc.convert_tts(sd, cfg.tts)
+        tts = _audited(tc.convert_tts, sd, cfg.tts)
         path = os.path.join(out_dir, "tts.npz")
         save_pytree_npz(path, tts)
         written["tts"] = path
@@ -259,3 +296,82 @@ def provision(
             "of flow.pt)"
         )
     return written
+
+
+def verify(
+    flow_pt: Optional[str] = None,
+    hift_pt: Optional[str] = None,
+    tts_ckpt: Optional[str] = None,
+    out_dir: str = "pretrained_models_tpu",
+    cfg: Optional[JyutVoiceConfig] = None,
+    text: str = "The quick brown fox jumps over the lazy dog.",
+    lang: str = "en",
+    phone: Optional[str] = None,
+    n_timesteps: int = 10,
+    reference_mel: Optional[str] = None,
+    download: bool = False,
+    download_dir: str = "pretrained_models",
+    fetch=None,
+) -> Dict[str, object]:
+    """One-command real-weight verification (reference infer.py:271-446):
+
+    download (or take paths to) the real artifacts -> strict key-coverage
+    audit -> convert -> synthesize the BASELINE config-1 sentence -> report
+    xRT, and mel MAE when a stored reference activation dump
+    (`reference_mel`: .npy of shape (T, 80)) is provided. Returns the
+    metrics dict and prints it as one JSON line. Runs end-to-end on
+    synthetic stand-in checkpoints in CI (tests/test_provision.py).
+    """
+    import json
+    import time
+
+    cfg = cfg or JyutVoiceConfig()
+    written = provision(
+        flow_pt=flow_pt,
+        hift_pt=hift_pt,
+        tts_ckpt=tts_ckpt,
+        out_dir=out_dir,
+        cfg=cfg,
+        assemble_pretrain=tts_ckpt is None and flow_pt is not None,
+        download=download,
+        download_dir=download_dir,
+        fetch=fetch,
+        strict_audit=True,
+    )
+    tts_path = written.get("tts") or written.get("tts_init")
+    hift_path = written.get("hift")
+    if not tts_path or not hift_path:
+        raise ValueError(
+            f"verification needs a TTS checkpoint ({'ok' if tts_path else 'missing'}) "
+            f"and hift.pt ({'ok' if hift_path else 'missing'}); "
+            f"provisioned: {sorted(written)}"
+        )
+
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    synth = Synthesizer(
+        cfg, load_pytree_npz(tts_path), load_pytree_npz(hift_path)
+    )
+    # warm-up compiles, then a timed run
+    synth.synthesize(text, lang=lang, phone=phone, n_timesteps=n_timesteps)
+    t0 = time.perf_counter()
+    res = synth.synthesize(
+        text, lang=lang, phone=phone, n_timesteps=n_timesteps
+    )
+    elapsed = time.perf_counter() - t0
+    audio_s = res.timings["audio_seconds"]
+    metrics: Dict[str, object] = {
+        "audit": "pass (strict, 100% key coverage)",
+        "artifacts": {k: str(v) for k, v in written.items()},
+        "mel_frames": res.mel_frames,
+        "audio_seconds": round(audio_s, 3),
+        "xrt": round(audio_s / max(elapsed, 1e-9), 2),
+    }
+    if reference_mel:
+        want = np.load(reference_mel)
+        t = min(len(want), len(res.mel))
+        mae = float(np.mean(np.abs(res.mel[:t] - want[:t])))
+        metrics["mel_mae"] = mae
+        metrics["mel_mae_pass"] = bool(mae < 1e-2)
+    print(json.dumps(metrics))
+    return metrics

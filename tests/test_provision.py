@@ -163,3 +163,32 @@ def test_provision_cli_assemble(tmp_path):
 
     params = _load_params(written["tts_init"], "tts", CFG)
     assert set(params) == {"encoder", "dp", "decoder", "spk_embed_affine_layer"}
+
+
+def test_verify_recipe_on_synthetic_standins(tmp_path):
+    """provision.verify (cli --verify): strict audit -> convert ->
+    synthesize -> metrics, end-to-end on synthetic checkpoints
+    (the documented procedure for the first machine with real artifacts)."""
+    from tests.test_hift_parity import _build_ref_hift
+
+    flow_pt, _ = _make_flow_pt(tmp_path)
+    hift_pt = str(tmp_path / "hift.pt")
+    torch.save(_build_ref_hift().state_dict(), hift_pt)
+
+    # stored "reference activation dump": any (T, 80) npy
+    ref_mel = str(tmp_path / "ref_mel.npy")
+    np.save(ref_mel, np.zeros((64, 80), np.float32))
+
+    metrics = provision.verify(
+        flow_pt=flow_pt,
+        hift_pt=hift_pt,
+        out_dir=str(tmp_path / "npz"),
+        text="佢",
+        lang="yue",
+        phone="keoi5",
+        n_timesteps=2,
+        reference_mel=ref_mel,
+    )
+    assert metrics["xrt"] > 0
+    assert "mel_mae" in metrics and np.isfinite(metrics["mel_mae"])
+    assert metrics["audit"].startswith("pass")
