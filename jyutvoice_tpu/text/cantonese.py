@@ -28,12 +28,13 @@ _JYUTPING_SEQ_RE = re.compile(r"^([a-z]+[1-6]+[ ]?)+$")
 
 def get_jyutping(text: str) -> List[str]:
     """Characters -> jyutping syllables via ToJyutping (one entry per char,
-    punctuation passed through). reference g2p.py:66-84."""
+    punctuation passed through), reference g2p.py:66-84 — or, when
+    ToJyutping is absent, the bundled curated reading table (readings.py,
+    loud one-time warning)."""
     if not _HAS_TOJYUTPING:
-        raise RuntimeError(
-            "ToJyutping is not installed: hanzi->jyutping conversion is "
-            "unavailable. Pass explicit jyutping (the --phone path) instead."
-        )
+        from jyutvoice_tpu.text.readings import jyutping_readings
+
+        return jyutping_readings(text)
     out: List[str] = []
     for word, syllable in ToJyutping.get_jyutping_list(text):
         if _PUNCT_ONLY_RE.match(word):

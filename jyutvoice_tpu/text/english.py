@@ -94,15 +94,23 @@ def get_dict() -> dict:
     path = find_cmudict()
     if path is None:
         return {}
-    cache = path + ".jyutvoice_tpu.pickle"
+    # cache under the user cache dir — the dict file itself may live in a
+    # read-only location
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "jyutvoice_tpu"
+    )
+    cache = os.path.join(
+        cache_dir, os.path.basename(path) + ".pickle"
+    )
     try:
-        if os.path.exists(cache):
+        if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(path):
             with open(cache, "rb") as f:
                 return pickle.load(f)
     except Exception:
         pass
     d = _read_cmudict(path)
     try:
+        os.makedirs(cache_dir, exist_ok=True)
         with open(cache, "wb") as f:
             pickle.dump(d, f)
     except OSError:
@@ -143,7 +151,18 @@ def distribute_phone(n_phone: int, n_word: int) -> List[int]:
 
 
 def _letter_to_sound(word: str):
-    """Rule-based fallback pronunciation for OOV words."""
+    """OOV pronunciation: trained decision-list LTS distilled from CMUdict
+    (text/lts.py — the stand-in for the reference's neural g2p_en,
+    reference english/g2p.py:244-254), with the crude rule map as the last
+    resort when the trained artifact is unavailable."""
+    from jyutvoice_tpu.text import lts
+
+    model = lts.load_model()
+    if model is not None:
+        phns = lts.predict(model, word)
+        if phns:
+            out = [refine_ph(p) for p in phns]
+            return [p for p, _ in out], [t for _, t in out]
     phones: List[str] = []
     tones: List[int] = []
     w = word.lower()

@@ -26,12 +26,16 @@ _ALPHA_RE = re.compile(r"[a-zA-Z]")
 
 def text_to_pinyin(word: str) -> List[Tuple[str, str]]:
     """Characters -> (initial, final_tone3) via pypinyin (strict=False),
-    reference mandarin/g2p.py:13-19."""
+    reference mandarin/g2p.py:13-19 — or, when pypinyin is absent, the
+    bundled curated reading table split with the same strict=False
+    conventions (readings.py, loud one-time warning)."""
     if not _HAS_PYPINYIN:
-        raise RuntimeError(
-            "pypinyin is not installed: hanzi->pinyin conversion is "
-            "unavailable. Pass explicit pinyin instead."
+        from jyutvoice_tpu.text.readings import (
+            pinyin_readings,
+            split_pinyin_loose,
         )
+
+        return [split_pinyin_loose(s) for s in pinyin_readings(word)]
     initials = [x[0] for x in pypinyin.pinyin(word, style=Style.INITIALS, strict=False)]
     finals = [
         x[0] for x in pypinyin.pinyin(word, style=Style.FINALS_TONE3, strict=False)

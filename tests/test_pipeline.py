@@ -55,6 +55,19 @@ def test_synthesize_cantonese_with_phone(synth):
     assert res.timings["audio_seconds"] > 0
 
 
+def test_synthesize_raw_text_no_phone(synth):
+    """Raw hanzi input with NO --phone and no ToJyutping/pypinyin installed:
+    the bundled reading tables carry the whole path (BASELINE config 3)."""
+    res = synth.synthesize("佢係邊個", lang="yue", n_timesteps=2)
+    assert res.wav.ndim == 1 and res.mel_frames > 0
+    res_zh = synth.synthesize("我们是朋友", lang="zh", n_timesteps=2)
+    assert res_zh.wav.ndim == 1 and res_zh.mel_frames > 0
+    res_mix = synth.synthesize(
+        "我今日去公園", lang="multilingual", n_timesteps=2
+    )
+    assert res_mix.wav.ndim == 1 and res_mix.mel_frames > 0
+
+
 def test_synthesize_with_prompt_cloning(synth):
     rng = np.random.default_rng(0)
     res = synth.synthesize(
