@@ -134,6 +134,15 @@ class FlowEncoderConfig:
     upsample_stride: int = 2
     static_chunk_size: int = 25
     dropout_rate: float = 0.1
+    # full conformer options (reference upsample_encoder.py:155-166,
+    # encoder_layer.py:241-319). The live FlowEncoder config disables both
+    # (reference infer.py:55-56); CosyVoice2-style encoder configs enable
+    # them.
+    macaron_style: bool = False
+    use_cnn_module: bool = False
+    cnn_module_kernel: int = 15
+    cnn_module_norm: str = "batch_norm"  # or "layer_norm"
+    causal_cnn: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

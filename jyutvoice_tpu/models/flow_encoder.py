@@ -23,34 +23,144 @@ from jyutvoice_tpu.nn import attention, core
 Array = jax.Array
 
 
-def init_conformer_layer(key, size: int, linear_units: int, n_heads: int):
+def init_conv_module(key, size: int, kernel: int, norm: str):
+    """Conformer ConvolutionModule (reference transformer/convolution.py:24-145):
+    pointwise 1x1 -> GLU -> depthwise k -> BN/LN -> Swish -> pointwise 1x1."""
     ks = jax.random.split(key, 3)
     return {
-        "attn": attention.rel_mha_init(ks[0], size, n_heads),
-        "norm_mha": core.layer_norm_init(size),
-        "ff": {
-            "w1": core.linear_init(ks[1], size, linear_units),
-            "w2": core.linear_init(ks[2], linear_units, size),
-        },
-        "norm_ff": core.layer_norm_init(size),
+        "pw1": core.linear_init(ks[0], size, 2 * size),  # 1x1 conv == linear
+        "dw": core.depthwise_conv1d_init(ks[1], size, kernel),
+        "norm": (
+            core.batch_norm_init(size)
+            if norm == "batch_norm"
+            else core.layer_norm_init(size)
+        ),
+        "pw2": core.linear_init(ks[2], size, size),
     }
 
 
+def apply_conv_module(
+    p,
+    x: Array,
+    mask_pad: Array,
+    kernel: int,
+    norm: str,
+    causal: bool,
+    cache: Array = None,
+) -> Tuple[Array, Array]:
+    """x (B, T, C) -> (B, T, C). Mirrors reference convolution.py:90-145:
+    pads are zeroed on entry, the input is left-padded (causal) or
+    symmetric-padded BEFORE pointwise_conv1 (so the depthwise conv sees
+    pw1(0)=bias values at boundaries, replicated on purpose), BN uses
+    running stats (eval mode). `cache` (B, k-1, C) is the causal left
+    context for streaming; returns (out, new_cache)."""
+    x = x * mask_pad.astype(x.dtype)[..., None]
+    lorder = kernel - 1 if causal else 0
+    if lorder > 0:
+        ctx = (
+            jnp.zeros(x.shape[:1] + (lorder,) + x.shape[2:], x.dtype)
+            if cache is None
+            else cache.astype(x.dtype)
+        )
+        xp = jnp.concatenate([ctx, x], axis=1)
+        new_cache = xp[:, -lorder:]
+        pad = "valid"
+    else:
+        xp = x
+        new_cache = jnp.zeros((0, 0, 0), x.dtype)
+        pad = "same_torch"
+    h = core.linear(p["pw1"], xp)
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(g)  # GLU over the channel dim
+    h = core.depthwise_conv1d(p["dw"], h, padding=pad)
+    if norm == "batch_norm":
+        h = core.batch_norm(p["norm"], h)
+    else:
+        h = core.layer_norm(p["norm"], h, eps=1e-5)
+    h = core.silu(h)
+    h = core.linear(p["pw2"], h)
+    h = h * mask_pad.astype(h.dtype)[..., None]
+    return h, new_cache
+
+
+def init_conformer_layer(
+    key, size: int, linear_units: int, n_heads: int, cfg: FlowEncoderConfig = None
+):
+    ks = jax.random.split(key, 5)
+
+    def ff(k):
+        return {
+            "w1": core.linear_init(jax.random.fold_in(k, 0), size, linear_units),
+            "w2": core.linear_init(jax.random.fold_in(k, 1), linear_units, size),
+        }
+
+    p = {
+        "attn": attention.rel_mha_init(ks[0], size, n_heads),
+        "norm_mha": core.layer_norm_init(size),
+        "ff": ff(ks[1]),
+        "norm_ff": core.layer_norm_init(size),
+    }
+    if cfg is not None and cfg.macaron_style:
+        p["ff_macaron"] = ff(ks[2])
+        p["norm_ff_macaron"] = core.layer_norm_init(size)
+    if cfg is not None and cfg.use_cnn_module:
+        p["conv"] = init_conv_module(
+            ks[3], size, cfg.cnn_module_kernel, cfg.cnn_module_norm
+        )
+        p["norm_conv"] = core.layer_norm_init(size)
+        p["norm_final"] = core.layer_norm_init(size)
+    return p
+
+
+def _apply_ff(ffp, x: Array) -> Array:
+    h = core.linear(ffp["w1"], x)
+    h = core.silu(h)  # swish activation (class_utils.py registry)
+    return core.linear(ffp["w2"], h)
+
+
 def apply_conformer_layer(
-    p, x: Array, pos_emb: Array, attn_bias: Array, n_heads: int
-) -> Array:
-    """Pre-norm MHA + FF layer (reference encoder_layer.py:241-319; live
-    config has no macaron / conv module). LayerNorm eps 1e-12."""
+    p,
+    x: Array,
+    pos_emb: Array,
+    attn_bias: Array,
+    n_heads: int,
+    cfg: FlowEncoderConfig = None,
+    mask_pad: Array = None,
+    cnn_cache: Array = None,
+):
+    """Full pre-norm conformer layer (reference encoder_layer.py:241-319):
+    optional 0.5-weighted macaron FF, rel-pos MHA, optional ConvolutionModule,
+    FF (0.5-weighted when macaron), final LayerNorm when the conv module is
+    present. Params gate the optional branches (created only when the config
+    enables them — the live FlowEncoder config has neither). LayerNorm eps
+    1e-12. Returns x, or (x, new_cnn_cache) when a cache is passed."""
+    ff_scale = 0.5 if "ff_macaron" in p else 1.0
+    if "ff_macaron" in p:
+        x = x + ff_scale * _apply_ff(
+            p["ff_macaron"], core.layer_norm(p["norm_ff_macaron"], x, eps=1e-12)
+        )
     res = x
     h = core.layer_norm(p["norm_mha"], x, eps=1e-12)
     h = attention.rel_mha(p["attn"], h, pos_emb, attn_bias, n_heads)
     x = res + h
-    res = x
-    h = core.layer_norm(p["norm_ff"], x, eps=1e-12)
-    h = core.linear(p["ff"]["w1"], h)
-    h = core.silu(h)  # swish activation (class_utils.py registry)
-    h = core.linear(p["ff"]["w2"], h)
-    return res + h
+    new_cnn_cache = None
+    if "conv" in p:
+        if mask_pad is None:
+            mask_pad = jnp.ones(x.shape[:2], bool)
+        h = core.layer_norm(p["norm_conv"], x, eps=1e-12)
+        h, new_cnn_cache = apply_conv_module(
+            p["conv"], h, mask_pad, cfg.cnn_module_kernel, cfg.cnn_module_norm,
+            cfg.causal_cnn, cnn_cache,
+        )
+        x = x + h
+    x = x + ff_scale * _apply_ff(
+        p["ff"], core.layer_norm(p["norm_ff"], x, eps=1e-12)
+    )
+    if "conv" in p:
+        x = core.layer_norm(p["norm_final"], x, eps=1e-12)
+    if cnn_cache is not None:
+        return x, new_cnn_cache
+    return x
 
 
 def init_flow_encoder(key, cfg: FlowEncoderConfig):
@@ -68,7 +178,8 @@ def init_flow_encoder(key, cfg: FlowEncoderConfig):
         },
         "encoders": [
             init_conformer_layer(
-                jax.random.fold_in(ks[4], i), d, cfg.linear_units, cfg.attention_heads
+                jax.random.fold_in(ks[4], i), d, cfg.linear_units,
+                cfg.attention_heads, cfg,
             )
             for i in range(cfg.num_blocks)
         ],
@@ -79,7 +190,8 @@ def init_flow_encoder(key, cfg: FlowEncoderConfig):
         },
         "up_encoders": [
             init_conformer_layer(
-                jax.random.fold_in(ks[7], i), d, cfg.linear_units, cfg.attention_heads
+                jax.random.fold_in(ks[7], i), d, cfg.linear_units,
+                cfg.attention_heads, cfg,
             )
             for i in range(cfg.num_up_blocks)
         ],
@@ -153,7 +265,10 @@ def apply_flow_encoder(
 
     h = _pre_lookahead(p["pre_lookahead"], h, cfg.pre_lookahead_len)
     for layer in p["encoders"]:
-        h = apply_conformer_layer(layer, h, pos_emb, attn_bias, cfg.attention_heads)
+        h = apply_conformer_layer(
+            layer, h, pos_emb, attn_bias, cfg.attention_heads, cfg,
+            mask_pad=mask,
+        )
 
     if exact_pad:
         h = h * mask[..., None].astype(h.dtype)
@@ -168,7 +283,8 @@ def apply_flow_encoder(
     attn_bias_up = core.mask_to_bias(attn_mask_up)[:, None, :, :]
     for layer in p["up_encoders"]:
         h = apply_conformer_layer(
-            layer, h, pos_emb_up, attn_bias_up, cfg.attention_heads
+            layer, h, pos_emb_up, attn_bias_up, cfg.attention_heads, cfg,
+            mask_pad=mask_up,
         )
 
     h = core.layer_norm(p["after_norm"], h, eps=1e-5)
@@ -282,6 +398,13 @@ def apply_flow_encoder_chunk(
     Chained chunks of size cfg.static_chunk_size reproduce
     apply_flow_encoder(streaming=True) exactly (see parity test).
     """
+    if cfg.use_cnn_module or cfg.macaron_style:
+        raise NotImplementedError(
+            "apply_flow_encoder_chunk supports the live FlowEncoder config "
+            "(no conv module / macaron, reference infer.py:55-56); use "
+            "apply_conformer_layer with cnn_cache for layer-level streaming "
+            "of CosyVoice2-style conformer configs"
+        )
     b, c = tokens.shape
     d = cfg.output_size
     s = cfg.upsample_stride

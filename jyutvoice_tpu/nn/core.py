@@ -233,6 +233,62 @@ def conv1d_matmul(
     return y
 
 
+def depthwise_conv1d_init(key, channels: int, kernel_size: int) -> PyTree:
+    """torch depthwise Conv1d (groups == channels): weight (C, 1, K) ->
+    ours (K, C); torch fan_in = (in_ch/groups)*K = K."""
+    kw, kb = jax.random.split(key)
+    return {
+        "w": kaiming_uniform_torch(kw, (kernel_size, channels), fan_in=kernel_size),
+        "b": uniform_bias_torch(kb, (channels,), kernel_size),
+    }
+
+
+def depthwise_conv1d(p: PyTree, x: Array, *, padding="valid") -> Array:
+    """Depthwise conv over (B, T, C) as K shifted elementwise multiply-adds.
+
+    XLA's grouped-conv lowering (feature_group_count=C) is the measured ~4x
+    slow path on this TPU (CLAUDE.md); K tap-shifts are pure VPU work and
+    fuse. padding follows conv1d's conventions.
+    """
+    w = p["w"]
+    k = w.shape[0]
+    if padding == "same_torch":
+        pad = (k // 2, k // 2)
+    elif padding == "causal":
+        pad = (k - 1, 0)
+    elif padding == "valid":
+        pad = (0, 0)
+    else:
+        pad = padding
+    xp = jnp.pad(x, ((0, 0), pad, (0, 0)))
+    t_out = xp.shape[1] - k + 1
+    y = None
+    for tap in range(k):
+        term = jax.lax.slice_in_dim(xp, tap, tap + t_out, axis=1) * w[tap]
+        y = term if y is None else y + term
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def batch_norm_init(channels: int) -> PyTree:
+    return {
+        "gamma": jnp.ones((channels,)),
+        "beta": jnp.zeros((channels,)),
+        "mean": jnp.zeros((channels,)),
+        "var": jnp.ones((channels,)),
+    }
+
+
+def batch_norm(p: PyTree, x: Array, eps: float = 1e-5) -> Array:
+    """Inference-mode BatchNorm over the channel (last) axis of (B, T, C),
+    using running statistics (torch BatchNorm1d.eval semantics)."""
+    inv = jax.lax.rsqrt(p["var"].astype(x.dtype) + eps)
+    return (x - p["mean"].astype(x.dtype)) * inv * p["gamma"].astype(
+        x.dtype
+    ) + p["beta"].astype(x.dtype)
+
+
 def conv_transpose1d_init(
     key, in_ch: int, out_ch: int, kernel_size: int, bias: bool = True
 ) -> PyTree:

@@ -283,8 +283,38 @@ def convert_tts(sd: SD, tts_cfg, prefix: str = "") -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _conformer_layer(sd: SD, name: str) -> dict:
+def _batch_norm(sd: SD, name: str) -> dict:
     return {
+        "gamma": jnp.asarray(sd[f"{name}.weight"]),
+        "beta": jnp.asarray(sd[f"{name}.bias"]),
+        "mean": jnp.asarray(sd[f"{name}.running_mean"]),
+        "var": jnp.asarray(sd[f"{name}.running_var"]),
+    }
+
+
+def _conv_module(sd: SD, name: str) -> dict:
+    """Conformer ConvolutionModule (reference transformer/convolution.py:24-145):
+    torch depthwise weight (C, 1, K) -> ours (K, C); BN (running stats) vs LN
+    detected from the checkpoint keys."""
+    dw = sd[f"{name}.depthwise_conv.weight"]
+    p = {
+        "pw1": _linear_from_conv1x1(sd, f"{name}.pointwise_conv1"),
+        "dw": {
+            "w": jnp.asarray(dw[:, 0, :].T),
+            "b": jnp.asarray(sd[f"{name}.depthwise_conv.bias"]),
+        },
+        "norm": (
+            _batch_norm(sd, f"{name}.norm")
+            if f"{name}.norm.running_mean" in sd
+            else _layer_norm(sd, f"{name}.norm")
+        ),
+        "pw2": _linear_from_conv1x1(sd, f"{name}.pointwise_conv2"),
+    }
+    return p
+
+
+def _conformer_layer(sd: SD, name: str) -> dict:
+    p = {
         "attn": {
             "q": _linear(sd, f"{name}.self_attn.linear_q"),
             "k": _linear(sd, f"{name}.self_attn.linear_k"),
@@ -301,6 +331,19 @@ def _conformer_layer(sd: SD, name: str) -> dict:
         },
         "norm_ff": _layer_norm(sd, f"{name}.norm_ff"),
     }
+    # full-conformer options (encoder_layer.py:241-319); present only when
+    # the source config enabled macaron_style / use_cnn_module
+    if f"{name}.feed_forward_macaron.w_1.weight" in sd:
+        p["ff_macaron"] = {
+            "w1": _linear(sd, f"{name}.feed_forward_macaron.w_1"),
+            "w2": _linear(sd, f"{name}.feed_forward_macaron.w_2"),
+        }
+        p["norm_ff_macaron"] = _layer_norm(sd, f"{name}.norm_ff_macaron")
+    if f"{name}.conv_module.depthwise_conv.weight" in sd:
+        p["conv"] = _conv_module(sd, f"{name}.conv_module")
+        p["norm_conv"] = _layer_norm(sd, f"{name}.norm_conv")
+        p["norm_final"] = _layer_norm(sd, f"{name}.norm_final")
+    return p
 
 
 def convert_flow_encoder(sd: SD, cfg: FlowEncoderConfig, prefix: str = "") -> dict:
