@@ -115,6 +115,9 @@ def main(argv=None):
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--tb-dir", default=None, help="TensorBoard log dir")
+    parser.add_argument("--wandb-project", default=None,
+                        help="optional WandB project (mirrors the TB "
+                             "surface; reference base.yaml:164-172)")
     parser.add_argument("--save-every", type=int, default=500)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--validate-only", action="store_true",
@@ -208,7 +211,7 @@ def main(argv=None):
     from jyutvoice_tpu.utils.tb_logging import TrainLogger
 
     log_param_counts(params)
-    tb = TrainLogger(args.tb_dir)
+    tb = TrainLogger(args.tb_dir, wandb_project=args.wandb_project)
 
     with mesh:
         rep = replicate(mesh)
