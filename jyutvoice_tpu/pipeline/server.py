@@ -258,3 +258,142 @@ class ServingEngine:
             pending = (group, finalize) if finalize is not None else None
         if pending is not None:
             self._finalize(*pending)
+
+
+class _StreamHandle:
+    """Client side of a streaming request: iterate to receive wav chunks."""
+
+    _DONE = object()
+
+    def __init__(self):
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is _StreamHandle._DONE:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+class StreamingLane:
+    """Multi-session streaming lane: N live streams share ONE device
+    dispatch and one readback per tick (pipeline/streaming.py
+    MultiStreamSynthesizer), instead of N sequential single-stream loops
+    paying N tunnel RTTs per audio tick.
+
+    submit() returns an iterable of 24 kHz float32 wav chunks. Sessions
+    beyond `max_streams` queue until a slot frees. Prompts are not yet
+    supported on this lane (the slot graph is compiled for prompt_frames=0);
+    use Synthesizer.synthesize_streaming for cloning streams.
+    """
+
+    def __init__(
+        self,
+        synthesizer,
+        max_streams: int = 4,
+        chunk_frames: int = 100,
+        n_timesteps: int = 10,
+    ):
+        from jyutvoice_tpu.pipeline.streaming import MultiStreamSynthesizer
+
+        self.synth = synthesizer
+        self.chunk_frames = chunk_frames
+        self.n_timesteps = n_timesteps
+        self._ms = MultiStreamSynthesizer(
+            synthesizer.cfg, synthesizer.params_tts, synthesizer.params_hift,
+            max_sessions=max_streams, chunk_frames=chunk_frames,
+            n_timesteps=n_timesteps,
+        )
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._handles = {}  # sid -> (_StreamHandle, remaining_samples)
+        self._stop = threading.Event()
+        self._submit_lock = threading.Lock()
+        self._worker = threading.Thread(
+            target=self._run, name="jyutvoice-streaming", daemon=True
+        )
+        self._worker.start()
+
+    def submit(
+        self,
+        text: str,
+        lang: str = "yue",
+        phone: Optional[str] = None,
+        spk_embed: Optional[np.ndarray] = None,
+        length_scale: float = 1.0,
+    ) -> _StreamHandle:
+        handle = _StreamHandle()
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("streaming lane is closed")
+            self._q.put(
+                (handle, dict(text=text, lang=lang, phone=phone,
+                              spk_embed=spk_embed, length_scale=length_scale))
+            )
+        return handle
+
+    def close(self, timeout: float = 30.0) -> None:
+        with self._submit_lock:
+            self._stop.set()
+            self._q.put(None)
+        self._worker.join(timeout)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[0]._q.put(RuntimeError("streaming lane is closed"))
+        for handle, _rem in self._handles.values():
+            handle._q.put(RuntimeError("streaming lane is closed"))
+        self._handles.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker --------------------------------------------------------------
+
+    def _admit(self, block: bool) -> None:
+        """Open queued requests into free slots; per-request failures fail
+        only that request's handle."""
+        while self._ms.active < self._ms.S:
+            try:
+                item = self._q.get(timeout=0.05) if block else self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is None:
+                return
+            handle, req = item
+            try:
+                mu_y, c, y_len = self.synth.prepare_stream(
+                    req["text"], lang=req["lang"], phone=req["phone"],
+                    spk_embed=req["spk_embed"],
+                    chunk_frames=self.chunk_frames,
+                    length_scale=req["length_scale"],
+                )
+                sid = self._ms.open(mu_y, c)
+                self._handles[sid] = (handle, y_len * 480)
+            except Exception as e:  # noqa: BLE001 — per-request isolation
+                handle._q.put(e)
+            block = False  # only block while completely idle
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self._admit(block=self._ms.active == 0)
+            if self._ms.active == 0:
+                continue
+            chunks, finished = self._ms.tick()
+            for sid, wav in chunks.items():
+                handle, remaining = self._handles[sid]
+                emit = wav[: max(0, min(len(wav), remaining))]
+                if len(emit):
+                    handle._q.put(emit)
+                self._handles[sid] = (handle, remaining - len(emit))
+            for sid in finished:
+                handle, _rem = self._handles.pop(sid)
+                handle._q.put(_StreamHandle._DONE)

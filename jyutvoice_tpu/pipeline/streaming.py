@@ -160,6 +160,7 @@ class StreamingSynthesizer:
         chunk_frames: int = 100,  # 2 s of mel (must be a chunk-mask multiple)
         prompt_frames: int = 0,
         n_timesteps: int = 10,
+        estimator_chunk_masks: bool = False,
     ):
         self.cfg = cfg
         self.params_tts = params_tts
@@ -167,12 +168,21 @@ class StreamingSynthesizer:
         self.chunk = chunk_frames
         self.p_len = prompt_frames
         self.n_timesteps = n_timesteps
+        # the reference's chunked path runs the estimator with FULL
+        # attention within each segment (ConditionalCFM.forward calls
+        # solve_euler without the streaming flag, flow_matching.py:196-213);
+        # True selects the 50-frame chunk-mask mode instead (the
+        # CausalConditionalCFM whole-utterance streaming semantics,
+        # flow_matching.py:391-401)
+        self.est_masks = estimator_chunk_masks
         self._step_fn = None
 
     # -- compiled graph -------------------------------------------------------
 
-    def _get_step_fn(self):
-        """ONE fused decode+crossfade+vocode graph per chunk.
+    def _make_core(self):
+        """The per-session fused decode+crossfade+vocode chunk step, on
+        UNBATCHED shapes — jitted directly for single-stream use and vmapped
+        over a session axis by MultiStreamSynthesizer.
 
         The unfused loop made two device dispatches per chunk (decode,
         vocode) each fenced by a host readback; on a tunneled platform the
@@ -186,15 +196,82 @@ class StreamingSynthesizer:
         chunk — first (no held), steady, and final partial — shares one
         compiled program.
         """
+        cfg = self.cfg.tts
+        hift_cfg = self.cfg.hift
+        p = self.p_len
+        seg = p + OVERLAP + self.chunk
+        cap = OVERLAP + self.chunk  # max regen+fresh frames per chunk
+        voc_seg = OVERLAP + cap  # mel context + max emit length
+        n_steps = self.n_timesteps
+        est_masks = self.est_masks
+        window = jnp.asarray(hann_crossfade_window(OVERLAP))
+
+        def core(
+            params_tts, params_hift, z, mu, spk, cond,
+            n_valid, ov, n_new, l_emit,
+            held, prev_voc_tail, hift_source,
+        ):
+            """z/mu/cond (seg, 80), spk (80,), held/prev_voc_tail
+            (OVERLAP, 80), hift_source (OVERLAP*480, 1); scalars traced."""
+            mask = (jnp.arange(seg)[:, None] < n_valid).astype(mu.dtype)
+            t_span = cfm_mod.cosine_t_span(n_steps).astype(mu.dtype)
+            mel = cfm_mod.solve_euler_cfg(
+                params_tts["decoder"], cfg.cfm, (z * mask)[None], t_span,
+                (mu * mask)[None], mask[None], spk[None], cond[None],
+                streaming=est_masks,
+            )  # (1, seg, 80)
+            out = mel[0, p:]  # (cap, 80); rows [0, ov+n_new) are valid
+
+            # crossfade the re-generated frames with the held versions
+            # of the SAME positions (reference utils/common.py:181-191)
+            faded = (
+                out[:OVERLAP] * window[:OVERLAP, None]
+                + held * window[OVERLAP:, None]
+            )
+            use_fade = (jnp.arange(cap) < ov)[:, None]
+            out = jnp.where(
+                use_fade,
+                jnp.pad(faded, ((0, cap - OVERLAP), (0, 0))),
+                out,
+            )
+            # frames held back for the next crossfade:
+            # out[ov+n_new-OVERLAP : ov+n_new]
+            new_held = jax.lax.dynamic_slice(
+                out, (jnp.maximum(ov + n_new - OVERLAP, 0), 0),
+                (OVERLAP, 80),
+            )
+
+            # vocode [mel tail | emitted frames | zeros] with source cache
+            voc_in = jnp.zeros((voc_seg, 80), out.dtype)
+            voc_in = jax.lax.dynamic_update_slice(
+                voc_in, prev_voc_tail, (0, 0)
+            )
+            voc_in = jax.lax.dynamic_update_slice(voc_in, out, (OVERLAP, 0))
+            emit_mask = (jnp.arange(voc_seg) < OVERLAP + l_emit)[:, None]
+            voc_in = jnp.where(emit_mask, voc_in, 0.0)
+            wav, src = hift_mod.hift_inference(
+                params_hift, hift_cfg, voc_in[None], deterministic=True,
+                cache_source=hift_source[None],
+            )
+            # next chunk's mel context = last OVERLAP of [tail | emit]
+            # = rows [l_emit, l_emit+OVERLAP) of voc_in
+            new_tail = jax.lax.dynamic_slice(voc_in, (l_emit, 0), (OVERLAP, 80))
+            new_src = jax.lax.dynamic_slice(
+                src, (0, l_emit * 480, 0), (1, OVERLAP * 480, 1)
+            )[0]
+            upd = l_emit > 0
+            new_tail = jnp.where(upd, new_tail, prev_voc_tail)
+            new_src = jnp.where(upd, new_src, hift_source)
+            # `out` rows [0, l_emit) are the crossfaded mel frames this
+            # chunk emits — returned for mel-level streaming consumers
+            # and cross-parity tests; costs nothing unless read back
+            return wav[0], out, new_held, new_tail, new_src
+
+        return core
+
+    def _get_step_fn(self):
         if self._step_fn is None:
-            cfg = self.cfg.tts
-            hift_cfg = self.cfg.hift
-            p = self.p_len
-            seg = p + OVERLAP + self.chunk
-            cap = OVERLAP + self.chunk  # max regen+fresh frames per chunk
-            voc_seg = OVERLAP + cap  # mel context + max emit length
-            n_steps = self.n_timesteps
-            window = jnp.asarray(hann_crossfade_window(OVERLAP))
+            core = self._make_core()
 
             @jax.jit
             def f(
@@ -202,57 +279,12 @@ class StreamingSynthesizer:
                 n_valid, ov, n_new, l_emit,
                 held, prev_voc_tail, hift_source,
             ):
-                mask = (
-                    jnp.arange(seg)[None, :, None] < n_valid
-                ).astype(mu.dtype)
-                t_span = cfm_mod.cosine_t_span(n_steps).astype(mu.dtype)
-                mel = cfm_mod.solve_euler_cfg(
-                    params_tts["decoder"], cfg.cfm, z * mask, t_span,
-                    mu * mask, mask, spks, cond, streaming=True,
-                )  # (1, seg, 80)
-                out = mel[0, p:]  # (cap, 80); rows [0, ov+n_new) are valid
-
-                # crossfade the re-generated frames with the held versions
-                # of the SAME positions (reference utils/common.py:181-191)
-                faded = (
-                    out[:OVERLAP] * window[:OVERLAP, None]
-                    + held * window[OVERLAP:, None]
+                wav, out, new_held, new_tail, new_src = core(
+                    params_tts, params_hift, z[0], mu[0], spks[0], cond[0],
+                    n_valid, ov, n_new, l_emit,
+                    held, prev_voc_tail, hift_source[0],
                 )
-                use_fade = (jnp.arange(cap) < ov)[:, None]
-                out = jnp.where(
-                    use_fade,
-                    jnp.pad(faded, ((0, cap - OVERLAP), (0, 0))),
-                    out,
-                )
-                # frames held back for the next crossfade:
-                # out[ov+n_new-OVERLAP : ov+n_new]
-                new_held = jax.lax.dynamic_slice(
-                    out, (jnp.maximum(ov + n_new - OVERLAP, 0), 0),
-                    (OVERLAP, 80),
-                )
-
-                # vocode [mel tail | emitted frames | zeros] with source cache
-                voc_in = jnp.zeros((voc_seg, 80), out.dtype)
-                voc_in = jax.lax.dynamic_update_slice(
-                    voc_in, prev_voc_tail, (0, 0)
-                )
-                voc_in = jax.lax.dynamic_update_slice(voc_in, out, (OVERLAP, 0))
-                emit_mask = (jnp.arange(voc_seg) < OVERLAP + l_emit)[:, None]
-                voc_in = jnp.where(emit_mask, voc_in, 0.0)
-                wav, src = hift_mod.hift_inference(
-                    params_hift, hift_cfg, voc_in[None], deterministic=True,
-                    cache_source=hift_source,
-                )
-                # next chunk's mel context = last OVERLAP of [tail | emit]
-                # = rows [l_emit, l_emit+OVERLAP) of voc_in
-                new_tail = jax.lax.dynamic_slice(voc_in, (l_emit, 0), (OVERLAP, 80))
-                new_src = jax.lax.dynamic_slice(
-                    src, (0, l_emit * 480, 0), (1, OVERLAP * 480, 1)
-                )
-                upd = l_emit > 0
-                new_tail = jnp.where(upd, new_tail, prev_voc_tail)
-                new_src = jnp.where(upd, new_src, hift_source)
-                return wav[0], new_held, new_tail, new_src
+                return wav, out, new_held, new_tail, new_src[None]
 
             self._step_fn = f
         return self._step_fn
@@ -265,8 +297,10 @@ class StreamingSynthesizer:
         spk: np.ndarray,  # (80,) projected speaker embedding
         prompt_feat: Optional[np.ndarray] = None,  # (P, 80)
         prompt_h: Optional[np.ndarray] = None,  # (P, 80)
+        emit_mel: bool = False,
     ) -> Iterator[np.ndarray]:
-        """Yield 24 kHz waveform chunks of `chunk_frames*480` samples."""
+        """Yield 24 kHz waveform chunks of `chunk_frames*480` samples
+        (or (wav, mel) pairs with emit_mel=True)."""
         t_total = mu_y.shape[0]
         p = self.p_len
         step = self._get_step_fn()
@@ -328,7 +362,7 @@ class StreamingSynthesizer:
                 l_emit = ov + n_new - OVERLAP
                 next_held = True
 
-            wav, held, voc_tail, src_cache = step(
+            wav, mel_out, held, voc_tail, src_cache = step(
                 self.params_tts, self.params_hift,
                 jnp.asarray(z_seg), jnp.asarray(mu_seg), spk_dev,
                 jnp.asarray(cond),
@@ -348,6 +382,202 @@ class StreamingSynthesizer:
             if l_emit > 0:
                 # the single host readback per chunk
                 wav = np.asarray(wav)
-                yield wav[OVERLAP * 480 : (OVERLAP + l_emit) * 480]
+                wav_chunk = wav[OVERLAP * 480 : (OVERLAP + l_emit) * 480]
+                if emit_mel:
+                    yield wav_chunk, np.asarray(mel_out)[:l_emit]
+                else:
+                    yield wav_chunk
 
             pos += n_new
+
+
+class MultiStreamSynthesizer:
+    """N concurrent streaming sessions advanced by ONE device dispatch per
+    tick.
+
+    Single-stream steady state is transport-bound on the tunneled platform
+    (~28 ms readback RTT per chunk, docs/design.md); running sessions
+    sequentially pays N RTTs per audio tick. Here the per-session fused
+    chunk step (StreamingSynthesizer._make_core) is vmapped over a fixed
+    session axis, so N live sessions share one dispatch and ONE wav
+    readback per tick. Sessions join/leave dynamically; free slots ride
+    along masked (l_emit=0 keeps their carries untouched).
+
+    Beyond the reference (its streaming machinery is single-stream), per
+    SURVEY §2.8's TPU-native mandate.
+    """
+
+    def __init__(
+        self,
+        cfg: JyutVoiceConfig,
+        params_tts,
+        params_hift,
+        max_sessions: int = 4,
+        chunk_frames: int = 100,
+        prompt_frames: int = 0,
+        n_timesteps: int = 10,
+        estimator_chunk_masks: bool = False,
+    ):
+        self._ss = StreamingSynthesizer(
+            cfg, params_tts, params_hift, chunk_frames, prompt_frames,
+            n_timesteps, estimator_chunk_masks,
+        )
+        self.cfg = cfg
+        self.S = max_sessions
+        self.chunk = chunk_frames
+        self.p_len = prompt_frames
+        self._batch_step = None
+        s = max_sessions
+        self._held = jnp.zeros((s, OVERLAP, 80), jnp.float32)
+        self._voc_tail = jnp.zeros((s, OVERLAP, 80), jnp.float32)
+        self._src = jnp.zeros((s, OVERLAP * 480, 1), jnp.float32)
+        self._spk = np.zeros((s, 80), np.float32)
+        self._sessions: list = [None] * s  # per-slot host state or None
+
+    def _get_batch_step(self):
+        if self._batch_step is None:
+            core = self._ss._make_core()
+            self._batch_step = jax.jit(
+                jax.vmap(
+                    core,
+                    in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+                )
+            )
+        return self._batch_step
+
+    @property
+    def active(self) -> int:
+        return sum(s is not None for s in self._sessions)
+
+    def open(
+        self,
+        mu_y: np.ndarray,
+        spk: np.ndarray,
+        prompt_feat: Optional[np.ndarray] = None,
+        prompt_h: Optional[np.ndarray] = None,
+    ) -> int:
+        """Claim a free slot for a new utterance; returns the session id."""
+        try:
+            sid = self._sessions.index(None)
+        except ValueError:
+            raise RuntimeError(
+                f"all {self.S} streaming slots busy; tick() until one frees"
+            ) from None
+        p = self.p_len
+        t_total = mu_y.shape[0]
+        noise_full = rand_noise_extended(p + t_total)[0]
+        z_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
+        mu_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
+        if p:
+            assert prompt_feat is not None and prompt_h is not None
+            z_cache[0, :p] = noise_full[:p]
+            mu_cache[0, :p] = prompt_h[:p]
+        self._sessions[sid] = {
+            "mu_y": np.asarray(mu_y, np.float32),
+            "noise": noise_full,
+            "z_cache": z_cache,
+            "mu_cache": mu_cache,
+            "prompt_feat": prompt_feat,
+            "pos": 0,
+            "has_held": False,
+        }
+        self._spk[sid] = spk
+        self._held = self._held.at[sid].set(0.0)
+        self._voc_tail = self._voc_tail.at[sid].set(0.0)
+        self._src = self._src.at[sid].set(0.0)
+        return sid
+
+    def tick(self):
+        """Advance every active session by one chunk with ONE dispatch.
+
+        Returns (chunks, finished): chunks maps session id -> float32 wav
+        samples emitted this tick; finished is the set of session ids whose
+        utterance completed (their slots are free again).
+        """
+        s_axis, p = self.S, self.p_len
+        seg = p + OVERLAP + self.chunk
+        z = np.zeros((s_axis, seg, 80), np.float32)
+        mu = np.zeros((s_axis, seg, 80), np.float32)
+        cond = np.zeros((s_axis, seg, 80), np.float32)
+        n_valid = np.zeros((s_axis,), np.int32)
+        ov_arr = np.zeros((s_axis,), np.int32)
+        n_new_arr = np.zeros((s_axis,), np.int32)
+        l_emit_arr = np.zeros((s_axis,), np.int32)
+        plan = {}
+        for sid, st in enumerate(self._sessions):
+            if st is None:
+                continue
+            t_total = st["mu_y"].shape[0]
+            pos = st["pos"]
+            if pos >= t_total:
+                continue
+            n_new = min(self.chunk, t_total - pos)
+            ov = OVERLAP if st["has_held"] else 0
+            if p:
+                mu[sid, :p] = st["mu_cache"][0, :p]
+                z[sid, :p] = st["z_cache"][0, :p]
+                cond[sid, :p] = st["prompt_feat"][:p]
+            if ov:
+                mu[sid, p : p + ov] = st["mu_cache"][0, p:]
+                z[sid, p : p + ov] = st["z_cache"][0, p:]
+            mu[sid, p + ov : p + ov + n_new] = st["mu_y"][pos : pos + n_new]
+            z[sid, p + ov : p + ov + n_new] = st["noise"][
+                p + pos : p + pos + n_new
+            ]
+            n_valid[sid] = p + ov + n_new
+            ov_arr[sid] = ov
+            n_new_arr[sid] = n_new
+            is_last = pos + n_new >= t_total
+            if is_last or ov + n_new <= OVERLAP:
+                l_emit, next_held = ov + n_new, False
+            else:
+                l_emit, next_held = ov + n_new - OVERLAP, True
+            l_emit_arr[sid] = l_emit
+            plan[sid] = (n_new, l_emit, next_held, is_last)
+
+        if not plan:
+            return {}, set()
+
+        step = self._get_batch_step()
+        wav, _mel, self._held, self._voc_tail, self._src = step(
+            self._ss.params_tts, self._ss.params_hift,
+            jnp.asarray(z), jnp.asarray(mu), jnp.asarray(self._spk),
+            jnp.asarray(cond), jnp.asarray(n_valid), jnp.asarray(ov_arr),
+            jnp.asarray(n_new_arr), jnp.asarray(l_emit_arr),
+            self._held, self._voc_tail, self._src,
+        )
+        wav_np = np.asarray(wav)  # the ONE readback for all sessions
+
+        chunks, finished = {}, set()
+        for sid, (n_new, l_emit, next_held, is_last) in plan.items():
+            st = self._sessions[sid]
+            # update the host-side z/mu overlap cache (same update rule as
+            # the single-stream path)
+            nv = int(n_valid[sid])
+            tail_lo = max(nv - OVERLAP, 0)
+            st["z_cache"][0, p:] = z[sid, tail_lo : tail_lo + OVERLAP]
+            st["mu_cache"][0, p:] = mu[sid, tail_lo : tail_lo + OVERLAP]
+            st["pos"] += n_new
+            st["has_held"] = next_held
+            if l_emit > 0:
+                chunks[sid] = wav_np[
+                    sid, OVERLAP * 480 : (OVERLAP + l_emit) * 480
+                ]
+            if is_last:
+                finished.add(sid)
+                self._sessions[sid] = None
+        return chunks, finished
+
+    def run_all(self, requests):
+        """Convenience: open all requests (<= max_sessions) and tick until
+        done. Returns {index: concatenated wav}."""
+        assert len(requests) <= self.S
+        sid_to_idx = {}
+        for i, req in enumerate(requests):
+            sid_to_idx[self.open(*req)] = i
+        out = {i: [] for i in range(len(requests))}
+        while self.active:
+            chunks, _fin = self.tick()
+            for sid, wav in chunks.items():
+                out[sid_to_idx[sid]].append(wav)
+        return {i: np.concatenate(parts) for i, parts in out.items() if parts}

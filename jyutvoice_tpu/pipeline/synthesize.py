@@ -277,30 +277,23 @@ class Synthesizer:
             },
         )
 
-    def synthesize_streaming(
+    def prepare_stream(
         self,
         text: str,
         lang: str = "yue",
         phone: Optional[str] = None,
         spk_embed: Optional[np.ndarray] = None,
-        prompt_feat: Optional[np.ndarray] = None,
-        prompt_h: Optional[np.ndarray] = None,
         chunk_frames: int = 100,
         length_scale: float = 1.0,
-        n_timesteps: int = 10,
     ):
-        """Generator of 24 kHz waveform chunks (chunk_frames*480 samples).
-
-        Text half runs once up front (cheap); the CFM decoder + vocoder
-        stream with overlap caches (pipeline/streaming.py). First chunk
-        latency ~ one chunk decode instead of the whole utterance.
-        """
+        """Text half for streaming: encoder + durations + expand, one
+        bucketed-jit dispatch. Returns (mu_y (T,80), c (80,), y_len) —
+        the inputs a Streaming/MultiStream synthesizer session consumes."""
         import jax.numpy as jnp
 
         from jyutvoice_tpu.models import text_encoder as te_mod
         from jyutvoice_tpu.models.tts import _l2_normalize
         from jyutvoice_tpu.nn import core
-        from jyutvoice_tpu.pipeline.streaming import StreamingSynthesizer
 
         (x, tone, word_pos, syllable_pos, lang_ids), n, t_text = (
             self.prepare_text(text, lang, phone)
@@ -367,7 +360,32 @@ class Synthesizer:
             )
         )[0, :y_len]
         c = np.asarray(c)[0]
+        return mu_y, c, y_len
 
+    def synthesize_streaming(
+        self,
+        text: str,
+        lang: str = "yue",
+        phone: Optional[str] = None,
+        spk_embed: Optional[np.ndarray] = None,
+        prompt_feat: Optional[np.ndarray] = None,
+        prompt_h: Optional[np.ndarray] = None,
+        chunk_frames: int = 100,
+        length_scale: float = 1.0,
+        n_timesteps: int = 10,
+    ):
+        """Generator of 24 kHz waveform chunks (chunk_frames*480 samples).
+
+        Text half runs once up front (cheap); the CFM decoder + vocoder
+        stream with overlap caches (pipeline/streaming.py). First chunk
+        latency ~ one chunk decode instead of the whole utterance.
+        """
+        from jyutvoice_tpu.pipeline.streaming import StreamingSynthesizer
+
+        mu_y, c, y_len = self.prepare_stream(
+            text, lang=lang, phone=phone, spk_embed=spk_embed,
+            chunk_frames=chunk_frames, length_scale=length_scale,
+        )
         p_len = 0 if prompt_feat is None else prompt_feat.shape[0]
         # cache the streaming synthesizer: a fresh instance per call would
         # re-create its jit wrapper and re-trace the fused chunk graph

@@ -159,7 +159,9 @@ def _letter_to_sound(word: str):
 
     model = lts.load_model()
     if model is not None:
-        phns = lts.predict(model, word)
+        # morphology over the dictionary first (inflections/compounds of
+        # in-dictionary words), then the trained decision-list LTS
+        phns = lts.predict_pron(word, get_dict(), model)
         if phns:
             out = [refine_ph(p) for p in phns]
             return [p for p, _ in out], [t for _, t in out]

@@ -62,3 +62,41 @@ def test_engine_error_propagates(synth):
 
     with pytest.raises(RuntimeError):
         engine.submit("after close", lang="yue", phone="aa1")
+
+
+def test_streaming_lane(synth):
+    """N concurrent streams share one dispatch per tick; each stream's
+    concatenated wav matches the direct synthesize_streaming output."""
+    from jyutvoice_tpu.pipeline.server import StreamingLane
+
+    reqs = [
+        ("佢", "keoi5"),
+        ("好", "hou2"),
+        ("係", "hai6"),
+    ]
+    want = [
+        np.concatenate(list(synth.synthesize_streaming(
+            t, lang="yue", phone=p, chunk_frames=50, n_timesteps=2,
+        )))
+        for t, p in reqs
+    ]
+    with StreamingLane(synth, max_streams=4, chunk_frames=50,
+                       n_timesteps=2) as lane:
+        handles = [lane.submit(t, lang="yue", phone=p) for t, p in reqs]
+        got = [np.concatenate(list(h)) for h in handles]
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, atol=1e-5)
+
+
+def test_streaming_lane_bad_request_isolated(synth):
+    from jyutvoice_tpu.pipeline.server import StreamingLane
+
+    with StreamingLane(synth, max_streams=2, chunk_frames=50,
+                       n_timesteps=2) as lane:
+        bad = lane.submit("hello", lang="no-such-lang")
+        good = lane.submit("佢", lang="yue", phone="keoi5")
+        with pytest.raises(ValueError):
+            list(bad)
+        wav = np.concatenate(list(good))
+        assert np.isfinite(wav).all() and len(wav) > 0

@@ -110,3 +110,70 @@ def test_pipeline_synthesize_streaming_with_prompt(setup):
     wav2 = np.concatenate(list(synth.synthesize_streaming("佢 係邊 個", **kw)))
     assert synth._mel_fns[key] is ss  # reused, not re-created
     np.testing.assert_array_equal(wav1, wav2)
+
+
+def test_stream_content_matches_nonstreamed(setup):
+    """CONTENT assertion: the streamed mel must correlate strongly with the
+    non-streamed decode of the same prior (a broken crossfade constant or
+    cache update fails this, not just shape checks)."""
+    from jyutvoice_tpu.models import cfm as cfm_mod
+    from jyutvoice_tpu.weights.noise import rand_noise
+
+    params, params_hift = setup
+    rng = np.random.default_rng(4)
+    t_total = 130
+    mu_y = rng.standard_normal((t_total, 80)).astype(np.float32)
+    spk = rng.standard_normal(80).astype(np.float32)
+
+    ss = StreamingSynthesizer(TINY, params, params_hift, chunk_frames=50)
+    mel_chunks = [m for _w, m in ss.stream(mu_y, spk, emit_mel=True)]
+    streamed = np.concatenate(mel_chunks, axis=0)
+    assert streamed.shape == (t_total, 80)
+
+    # non-streamed decode of the same prior with the same noise
+    mask = jnp.ones((1, t_total, 1))
+    t_span = cfm_mod.cosine_t_span(10)
+    full = np.asarray(
+        cfm_mod.solve_euler_cfg(
+            params["decoder"], TINY.tts.cfm,
+            jnp.asarray(rand_noise(t_total)), t_span,
+            jnp.asarray(mu_y[None]), mask, jnp.asarray(spk[None]),
+            jnp.zeros((1, t_total, 80)),
+        )
+    )[0]
+    # not bit-identical: the non-streamed decode attends over the whole
+    # utterance while each streamed segment only sees its own window — but
+    # the content must correlate strongly (a broken crossfade or cache
+    # kills this)
+    corr = np.corrcoef(streamed.ravel(), full.ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_multistream_matches_single(setup):
+    """MultiStreamSynthesizer: N lock-step sessions in one dispatch per
+    tick produce EXACTLY the single-stream waveforms, including sessions of
+    different lengths joining/leaving."""
+    from jyutvoice_tpu.pipeline.streaming import MultiStreamSynthesizer
+
+    params, params_hift = setup
+    rng = np.random.default_rng(5)
+    lens = [130, 80, 50]
+    mus = [rng.standard_normal((t, 80)).astype(np.float32) for t in lens]
+    spks = [rng.standard_normal(80).astype(np.float32) for _ in lens]
+
+    single = StreamingSynthesizer(TINY, params, params_hift, chunk_frames=50)
+    want = [np.concatenate(list(single.stream(m, s))) for m, s in zip(mus, spks)]
+
+    ms = MultiStreamSynthesizer(
+        TINY, params, params_hift, max_sessions=4, chunk_frames=50
+    )
+    got = ms.run_all([(m, s) for m, s in zip(mus, spks)])
+    for i in range(len(lens)):
+        assert got[i].shape == want[i].shape
+        np.testing.assert_allclose(got[i], want[i], atol=1e-5)
+
+    # slots freed: a new session can open immediately
+    sid = ms.open(mus[1], spks[1])
+    assert isinstance(sid, int)
+    chunks, _ = ms.tick()
+    assert sid in chunks
