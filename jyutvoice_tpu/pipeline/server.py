@@ -296,6 +296,7 @@ class StreamingLane:
         max_streams: int = 4,
         chunk_frames: int = 100,
         n_timesteps: int = 10,
+        pcm16: bool = False,
     ):
         from jyutvoice_tpu.pipeline.streaming import MultiStreamSynthesizer
 
@@ -305,7 +306,7 @@ class StreamingLane:
         self._ms = MultiStreamSynthesizer(
             synthesizer.cfg, synthesizer.params_tts, synthesizer.params_hift,
             max_sessions=max_streams, chunk_frames=chunk_frames,
-            n_timesteps=n_timesteps,
+            n_timesteps=n_timesteps, pcm16=pcm16,
         )
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self._handles = {}  # sid -> (_StreamHandle, remaining_samples)

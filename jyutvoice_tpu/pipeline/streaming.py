@@ -161,6 +161,7 @@ class StreamingSynthesizer:
         prompt_frames: int = 0,
         n_timesteps: int = 10,
         estimator_chunk_masks: bool = False,
+        pcm16: bool = False,
     ):
         self.cfg = cfg
         self.params_tts = params_tts
@@ -168,6 +169,10 @@ class StreamingSynthesizer:
         self.chunk = chunk_frames
         self.p_len = prompt_frames
         self.n_timesteps = n_timesteps
+        # on-device int16 conversion before readback (halves transport
+        # bytes; the serving-native sample format). stream() then yields
+        # int16 arrays.
+        self.pcm16 = pcm16
         # the reference's chunked path runs the estimator with FULL
         # attention within each segment (ConditionalCFM.forward calls
         # solve_euler without the streaming flag, flow_matching.py:196-213);
@@ -262,10 +267,22 @@ class StreamingSynthesizer:
             upd = l_emit > 0
             new_tail = jnp.where(upd, new_tail, prev_voc_tail)
             new_src = jnp.where(upd, new_src, hift_source)
+            # return only the emit window (samples [OVERLAP*480,
+            # (OVERLAP+cap)*480)): the leading mel-context samples are
+            # never emitted, and readback bytes dominate streaming cost
+            # over the tunneled link. Optional on-device PCM16 halves the
+            # bytes again (serving's wav-file-native format).
+            wav_emit = jax.lax.slice_in_dim(
+                wav[0], OVERLAP * 480, (OVERLAP + cap) * 480, axis=0
+            )
+            if self.pcm16:
+                wav_emit = jnp.round(
+                    jnp.clip(wav_emit, -1.0, 1.0) * 32767.0
+                ).astype(jnp.int16)
             # `out` rows [0, l_emit) are the crossfaded mel frames this
             # chunk emits — returned for mel-level streaming consumers
             # and cross-parity tests; costs nothing unless read back
-            return wav[0], out, new_held, new_tail, new_src
+            return wav_emit, out, new_held, new_tail, new_src
 
         return core
 
@@ -380,9 +397,10 @@ class StreamingSynthesizer:
             state.mu_cache[0, p:] = mu_seg[0, tail_lo : tail_lo + OVERLAP]
 
             if l_emit > 0:
-                # the single host readback per chunk
+                # the single host readback per chunk (core already sliced
+                # to the emit window on-device)
                 wav = np.asarray(wav)
-                wav_chunk = wav[OVERLAP * 480 : (OVERLAP + l_emit) * 480]
+                wav_chunk = wav[: l_emit * 480]
                 if emit_mel:
                     yield wav_chunk, np.asarray(mel_out)[:l_emit]
                 else:
@@ -417,10 +435,11 @@ class MultiStreamSynthesizer:
         prompt_frames: int = 0,
         n_timesteps: int = 10,
         estimator_chunk_masks: bool = False,
+        pcm16: bool = False,
     ):
         self._ss = StreamingSynthesizer(
             cfg, params_tts, params_hift, chunk_frames, prompt_frames,
-            n_timesteps, estimator_chunk_masks,
+            n_timesteps, estimator_chunk_masks, pcm16,
         )
         self.cfg = cfg
         self.S = max_sessions
@@ -560,9 +579,8 @@ class MultiStreamSynthesizer:
             st["pos"] += n_new
             st["has_held"] = next_held
             if l_emit > 0:
-                chunks[sid] = wav_np[
-                    sid, OVERLAP * 480 : (OVERLAP + l_emit) * 480
-                ]
+                # core already slices to the emit window on-device
+                chunks[sid] = wav_np[sid, : l_emit * 480]
             if is_last:
                 finished.add(sid)
                 self._sessions[sid] = None

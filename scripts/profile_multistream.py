@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--frames", type=int, default=500, help="mel frames per stream")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--pcm16", action="store_true",
+                    help="on-device int16 wav (halves readback bytes)")
     args = ap.parse_args()
 
     cfg = JyutVoiceConfig()
@@ -65,7 +67,7 @@ def main():
     # -- multi-stream lock-step --------------------------------------------
     ms = MultiStreamSynthesizer(
         cfg, params, params_hift, max_sessions=n, chunk_frames=args.chunk,
-        n_timesteps=args.steps,
+        n_timesteps=args.steps, pcm16=args.pcm16,
     )
     _ = ms.run_all([(mus[0][: args.chunk * 2], spks[0])])  # warm compile
     t0 = time.perf_counter()
@@ -75,6 +77,7 @@ def main():
     multi_xrt = n * audio_s_each / multi_s
 
     print(json.dumps({
+        "pcm16": args.pcm16,
         "streams": n,
         "chunk_frames": args.chunk,
         "frames_per_stream": args.frames,
