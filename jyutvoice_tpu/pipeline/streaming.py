@@ -452,6 +452,7 @@ class MultiStreamSynthesizer:
         self._src = jnp.zeros((s, OVERLAP * 480, 1), jnp.float32)
         self._spk = np.zeros((s, 80), np.float32)
         self._sessions: list = [None] * s  # per-slot host state or None
+        self._pending = None  # (plan, device wav) of the last dispatch
 
     def _get_batch_step(self):
         if self._batch_step is None:
@@ -507,12 +508,24 @@ class MultiStreamSynthesizer:
         return sid
 
     def tick(self):
-        """Advance every active session by one chunk with ONE dispatch.
+        """Advance every active session by one chunk with ONE dispatch,
+        DOUBLE-BUFFERED: this tick's device compute is enqueued BEFORE the
+        previous tick's wav readback, so the tunnel RTT hides behind
+        compute.
 
-        Returns (chunks, finished): chunks maps session id -> float32 wav
-        samples emitted this tick; finished is the set of session ids whose
-        utterance completed (their slots are free again).
+        Returns (chunks, finished) for the PREVIOUS dispatch: chunks maps
+        session id -> wav samples; finished is the set of session ids whose
+        final chunk was just delivered (slots stay claimed until then, so
+        ids remain unambiguous). Keep calling tick() while `active` is
+        nonzero — the last wav arrives one tick after its dispatch.
         """
+        pending = self._dispatch()
+        prev, self._pending = self._pending, pending
+        if prev is None:
+            return {}, set()
+        return self._deliver(prev)
+
+    def _dispatch(self):
         s_axis, p = self.S, self.p_len
         seg = p + OVERLAP + self.chunk
         z = np.zeros((s_axis, seg, 80), np.float32)
@@ -524,12 +537,10 @@ class MultiStreamSynthesizer:
         l_emit_arr = np.zeros((s_axis,), np.int32)
         plan = {}
         for sid, st in enumerate(self._sessions):
-            if st is None:
-                continue
+            if st is None or st["pos"] >= st["mu_y"].shape[0]:
+                continue  # free, or dispatched fully (delivery pending)
             t_total = st["mu_y"].shape[0]
             pos = st["pos"]
-            if pos >= t_total:
-                continue
             n_new = min(self.chunk, t_total - pos)
             ov = OVERLAP if st["has_held"] else 0
             if p:
@@ -555,7 +566,7 @@ class MultiStreamSynthesizer:
             plan[sid] = (n_new, l_emit, next_held, is_last)
 
         if not plan:
-            return {}, set()
+            return None
 
         step = self._get_batch_step()
         wav, _mel, self._held, self._voc_tail, self._src = step(
@@ -565,19 +576,23 @@ class MultiStreamSynthesizer:
             jnp.asarray(n_new_arr), jnp.asarray(l_emit_arr),
             self._held, self._voc_tail, self._src,
         )
-        wav_np = np.asarray(wav)  # the ONE readback for all sessions
-
-        chunks, finished = {}, set()
-        for sid, (n_new, l_emit, next_held, is_last) in plan.items():
+        # host-side z/mu cache + position updates happen at DISPATCH time —
+        # the next dispatch depends on them; only the wav readback waits
+        for sid, (n_new, _l_emit, next_held, _is_last) in plan.items():
             st = self._sessions[sid]
-            # update the host-side z/mu overlap cache (same update rule as
-            # the single-stream path)
             nv = int(n_valid[sid])
             tail_lo = max(nv - OVERLAP, 0)
             st["z_cache"][0, p:] = z[sid, tail_lo : tail_lo + OVERLAP]
             st["mu_cache"][0, p:] = mu[sid, tail_lo : tail_lo + OVERLAP]
             st["pos"] += n_new
             st["has_held"] = next_held
+        return plan, wav
+
+    def _deliver(self, pending):
+        plan, wav = pending
+        wav_np = np.asarray(wav)  # the ONE readback for all sessions
+        chunks, finished = {}, set()
+        for sid, (_n_new, l_emit, _next_held, is_last) in plan.items():
             if l_emit > 0:
                 # core already slices to the emit window on-device
                 chunks[sid] = wav_np[sid, : l_emit * 480]
@@ -594,7 +609,7 @@ class MultiStreamSynthesizer:
         for i, req in enumerate(requests):
             sid_to_idx[self.open(*req)] = i
         out = {i: [] for i in range(len(requests))}
-        while self.active:
+        while self.active or self._pending is not None:
             chunks, _fin = self.tick()
             for sid, wav in chunks.items():
                 out[sid_to_idx[sid]].append(wav)

@@ -172,8 +172,30 @@ def test_multistream_matches_single(setup):
         assert got[i].shape == want[i].shape
         np.testing.assert_allclose(got[i], want[i], atol=1e-5)
 
-    # slots freed: a new session can open immediately
+    # slots freed: a new session can open immediately. Ticks are
+    # double-buffered (delivery lags the dispatch by one tick)
     sid = ms.open(mus[1], spks[1])
     assert isinstance(sid, int)
     chunks, _ = ms.tick()
+    if sid not in chunks:
+        chunks, _ = ms.tick()
     assert sid in chunks
+
+
+def test_stream_pcm16(setup):
+    """pcm16=True yields int16 chunks matching the float path quantized."""
+    params, params_hift = setup
+    rng = np.random.default_rng(6)
+    mu_y = rng.standard_normal((60, 80)).astype(np.float32)
+    spk = rng.standard_normal(80).astype(np.float32)
+    f = StreamingSynthesizer(TINY, params, params_hift, chunk_frames=50)
+    q = StreamingSynthesizer(
+        TINY, params, params_hift, chunk_frames=50, pcm16=True
+    )
+    wav_f = np.concatenate(list(f.stream(mu_y, spk)))
+    wav_q = np.concatenate(list(q.stream(mu_y, spk)))
+    assert wav_q.dtype == np.int16
+    want = np.round(np.clip(wav_f, -1, 1) * 32767.0).astype(np.int16)
+    #独立 compiled graphs: float rounding at the int16 boundary may differ
+    # by 1 LSB
+    assert np.max(np.abs(wav_q.astype(np.int32) - want.astype(np.int32))) <= 1
