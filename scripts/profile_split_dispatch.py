@@ -8,7 +8,10 @@ at 337x aggregate. If 2x overlapped batch-8 lands near 2x the batch-8 time,
 the server can serve 16-request groups as two dispatches and skip the cliff.
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
