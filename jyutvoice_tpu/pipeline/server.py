@@ -75,15 +75,17 @@ class ServingEngine:
     def __init__(
         self,
         synthesizer,
-        max_batch: int = 8,
+        max_batch: int = 16,
         max_wait_ms: float = 20.0,
         n_timesteps: int = 10,
         length_scale: float = 1.0,
         return_mel: bool = False,
         pcm16: bool = False,
+        split_dispatch_at: int = 8,
     ):
         self.synth = synthesizer
         self.max_batch = max_batch
+        self.split_dispatch_at = split_dispatch_at
         self.max_wait_s = max_wait_ms / 1000.0
         self.n_timesteps = n_timesteps
         self.length_scale = length_scale
@@ -242,20 +244,46 @@ class ServingEngine:
             group = self._validate(group)
             if not group:
                 continue
-            try:
-                finalize = self.synth.synthesize_batch_dispatch(
-                    [r.item for r in group],
-                    n_timesteps=self.n_timesteps,
-                    length_scale=self.length_scale,
-                    return_mel=self.return_mel,
-                    pcm16=self.pcm16,
-                )
-            except Exception as e:  # noqa: BLE001
-                self._fail(group, e)
+            # groups past the batch-8 scaling knee are dispatched as
+            # back-to-back sub-batches of <= split_dispatch_at: measured
+            # (scripts/profile_split_dispatch.py) two overlapped batch-8
+            # solves finish in 395 ms where one batch-16 takes 541 ms
+            # (415 vs 303 xRT) — the device pipelines the dispatches, the
+            # host fences once
+            sd = self.split_dispatch_at
+            subgroups = (
+                [group[i : i + sd] for i in range(0, len(group), sd)]
+                if len(group) > sd
+                else [group]
+            )
+            finals, ok_group = [], []
+            for sub in subgroups:
+                try:
+                    finals.append(
+                        self.synth.synthesize_batch_dispatch(
+                            [r.item for r in sub],
+                            n_timesteps=self.n_timesteps,
+                            length_scale=self.length_scale,
+                            return_mel=self.return_mel,
+                            pcm16=self.pcm16,
+                        )
+                    )
+                    ok_group.extend(sub)
+                except Exception as e:  # noqa: BLE001
+                    self._fail(sub, e)
+            if finals:
+
+                def finalize(fins=tuple(finals)):
+                    results = []
+                    for f in fins:
+                        results.extend(f())
+                    return results
+
+            else:
                 finalize = None
             if pending is not None:
                 self._finalize(*pending)
-            pending = (group, finalize) if finalize is not None else None
+            pending = (ok_group, finalize) if finalize is not None else None
         if pending is not None:
             self._finalize(*pending)
 

@@ -36,8 +36,10 @@ def main():
     # ~6 s utterance (philosophical-length phone string) per request
     phone = " ".join(["keoi5 hai6 bin1 go3 aa3"] * 6)
     text = "佢 係邊 個 呀 " * 6
+    import sys
     n_req = 32
-    max_batch = 8
+    max_batch = int(sys.argv[sys.argv.index("--max-batch") + 1]) \
+        if "--max-batch" in sys.argv else 16
 
     with ServingEngine(
         synth, max_batch=max_batch, max_wait_ms=30.0, n_timesteps=10,

@@ -100,3 +100,21 @@ def test_streaming_lane_bad_request_isolated(synth):
             list(bad)
         wav = np.concatenate(list(good))
         assert np.isfinite(wav).all() and len(wav) > 0
+
+
+def test_engine_split_dispatch(synth):
+    """Groups past split_dispatch_at dispatch as back-to-back sub-batches;
+    results still match direct synthesis per request."""
+    texts = [("佢", "keoi5"), ("好", "hou2"), ("係", "hai6"), ("個", "go3"),
+             ("邊", "bin1")]
+    want = {
+        t: synth.synthesize(t, lang="yue", phone=p, n_timesteps=2).wav
+        for t, p in texts
+    }
+    with ServingEngine(synth, max_batch=8, max_wait_ms=300, n_timesteps=2,
+                       split_dispatch_at=2) as eng:
+        futs = [(t, eng.submit(t, lang="yue", phone=p)) for t, p in texts]
+        for t, f in futs:
+            res = f.result(timeout=300)
+            np.testing.assert_allclose(res.wav, want[t], atol=1e-5)
+    assert eng.stats.requests == len(texts)
