@@ -160,3 +160,13 @@ def test_yue_raw_text_to_sequence_ids():
     assert ids == [symbol_to_id[s] for s in
                    ["_", "k", "eo", "i", "h", "a", "i", "b", "i", "n",
                     "g", "o", "_"]]
+
+
+def test_lexicon_words_fully_covered():
+    """Every word the bundled word-seg lexicon can emit must be readable in
+    BOTH tables (the segmenter's own vocabulary is the minimum bar)."""
+    from jyutvoice_tpu.text.lexicon import COMMON_WORDS
+
+    for w in COMMON_WORDS:
+        assert jyutping_readings(w), w
+        assert pinyin_readings(w), w
