@@ -212,6 +212,25 @@ def test_infer_cli_smoke(tmp_path):
         assert f.getnframes() > 0
 
 
+def test_infer_cli_raw_text(tmp_path):
+    """CLI with raw hanzi and NO --phone: bundled word-seg + reading tables
+    carry the whole frontend (the reference needs pydips + ToJyutping)."""
+    import wave
+
+    from jyutvoice_tpu.cli.infer import main
+
+    out = str(tmp_path / "out_raw.wav")
+    main(
+        [
+            "--text", "佢係邊個", "--lang", "yue",
+            "--output", out, "--n-timesteps", "2",
+        ],
+        cfg=TINY,
+    )
+    with wave.open(out, "rb") as f:
+        assert f.getnframes() > 0
+
+
 def test_infer_cli_stream_smoke(tmp_path):
     """--stream: chunked synthesis writes a wav of the same length class."""
     import wave
