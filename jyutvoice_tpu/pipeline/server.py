@@ -75,7 +75,7 @@ class ServingEngine:
     def __init__(
         self,
         synthesizer,
-        max_batch: int = 16,
+        max_batch: int = 8,
         max_wait_ms: float = 20.0,
         n_timesteps: int = 10,
         length_scale: float = 1.0,
