@@ -1,0 +1,104 @@
+"""HTTP serving CLI — deploy the synthesizer as a service.
+
+The reference ships no server (its surface is the one-shot infer.py CLI,
+reference infer.py:271-446); this is the TPU framework's production serving
+entry around pipeline/http_server.py (dynamic batching + multi-stream
+streaming lane).
+
+Example:
+  python -m jyutvoice_tpu.cli.serve \
+      --ckpt pretrained_models_tpu/tts.npz --hift pretrained_models_tpu/hift.npz \
+      --port 8080 --streaming
+
+  curl -s localhost:8080/tts -d '{"text":"佢係邊個","lang":"yue"}' > out.wav
+  curl -sN localhost:8080/tts/stream -d '{"text":"佢係邊個"}' > stream.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+log = logging.getLogger("jyutvoice_tpu.serve")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", help="tts weights (.npz pytree or torch .ckpt/.pt)")
+    ap.add_argument("--hift", help="hift weights (.npz pytree or torch .pt)")
+    ap.add_argument(
+        "--random-init",
+        action="store_true",
+        help="serve random-init weights (smoke testing / load testing)",
+    )
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    ap.add_argument("--n-timesteps", type=int, default=10)
+    ap.add_argument("--length-scale", type=float, default=1.0)
+    ap.add_argument(
+        "--streaming", action="store_true", help="enable POST /tts/stream"
+    )
+    ap.add_argument("--max-streams", type=int, default=4)
+    ap.add_argument("--chunk-frames", type=int, default=100)
+    ap.add_argument("--verbose", action="store_true")
+    return ap
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    if not args.random_init and not (args.ckpt and args.hift):
+        raise SystemExit("--ckpt and --hift are required (or pass --random-init)")
+
+    import jax
+
+    from jyutvoice_tpu.cli.infer import _load_params
+    from jyutvoice_tpu.config import JyutVoiceConfig
+    from jyutvoice_tpu.pipeline.http_server import TTSServer
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    cfg = JyutVoiceConfig()
+    if args.random_init:
+        from jyutvoice_tpu.models.hift import init_hift
+        from jyutvoice_tpu.models.tts import init_tts
+
+        log.warning("serving RANDOM-INIT weights (smoke/load testing only)")
+        params = init_tts(jax.random.PRNGKey(0), cfg.tts)
+        params_hift = init_hift(jax.random.PRNGKey(1), cfg.hift)
+    else:
+        params = _load_params(args.ckpt, "tts", cfg)
+        params_hift = _load_params(args.hift, "hift", cfg)
+
+    synth = Synthesizer(cfg, params, params_hift)
+    server = TTSServer(
+        synth,
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        n_timesteps=args.n_timesteps,
+        length_scale=args.length_scale,
+        streaming=args.streaming,
+        max_streams=args.max_streams,
+        chunk_frames=args.chunk_frames,
+        verbose=args.verbose,
+    )
+    log.info(
+        "serving on http://%s:%d (device: %s, streaming: %s)",
+        server.host, server.port, jax.devices()[0], args.streaming,
+    )
+    try:
+        while True:
+            import time
+
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        log.info("shutting down")
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,288 @@
+"""Production HTTP serving front-end (stdlib-only).
+
+The reference has no serving layer — its inference surface is the one-shot
+`infer.py` CLI (reference infer.py:271-446). This module puts the
+dynamic-batching ServingEngine and the multi-session StreamingLane
+(pipeline/server.py) behind a small HTTP API so the framework deploys as a
+service on a TPU host:
+
+  GET  /healthz     -> {"ok": true, "device": ...}
+  GET  /stats       -> serving stats JSON (request/batch/latency counters)
+  POST /tts         -> audio/wav (16-bit PCM, 24 kHz)
+                       body: {"text": "...", "lang": "yue", "phone": null,
+                              "spk_embed": [192 floats] (optional)}
+  POST /tts/stream  -> chunked-transfer audio/wav whose PCM arrives as the
+                       model generates it (multi-stream lane: concurrent
+                       streams share one device dispatch per tick)
+
+stdlib `http.server` is deliberate: zero new dependencies, and a threaded
+server maps 1:1 onto the engines' Future/iterator surfaces (the GIL is
+irrelevant — the hot work happens on device, and batching happens in the
+engine worker, not per connection).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# WAV container helpers
+# ---------------------------------------------------------------------------
+
+
+def pcm16_of(wav: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] (or already-int16) -> int16 PCM."""
+    if wav.dtype == np.int16:
+        return wav
+    return np.round(np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
+def wav_header(num_samples: int, sample_rate: int) -> bytes:
+    """44-byte PCM16 mono WAV header. `num_samples < 0` emits the streaming
+    convention (0xFFFFFFFF sizes): players treat the data chunk as unbounded,
+    which is how chunked HTTP audio is normally served."""
+    if num_samples < 0:
+        data_size = 0xFFFFFFFF - 36
+        riff_size = 0xFFFFFFFF
+    else:
+        data_size = num_samples * 2
+        riff_size = data_size + 36
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", riff_size),
+            b"WAVEfmt ",
+            struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16),
+            b"data",
+            struct.pack("<I", data_size),
+        ]
+    )
+
+
+def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
+    pcm = pcm16_of(wav)
+    return wav_header(len(pcm), sample_rate) + pcm.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server_version = "jyutvoice-tpu"
+
+    # quiet by default; the TTSServer collects errors
+    def log_message(self, fmt, *args):  # noqa: D102
+        if self.server.tts_verbose:  # type: ignore[attr-defined]
+            super().log_message(fmt, *args)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _json_body(self) -> dict:
+        length = int(self.headers.get("Content-Length", "0"))
+        if length <= 0:
+            raise ValueError("empty request body")
+        raw = self.rfile.read(length)
+        body = json.loads(raw)
+        if not isinstance(body, dict):
+            raise ValueError("request body must be a JSON object")
+        return body
+
+    def _send_json(self, obj: dict, code: int = 200) -> None:
+        data = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _send_error_json(self, code: int, msg: str) -> None:
+        self._send_json({"error": msg}, code=code)
+
+    def _chunk(self, data: bytes) -> None:
+        self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
+
+    # -- routes -------------------------------------------------------------
+
+    def do_GET(self):  # noqa: N802
+        srv = self.server  # type: ignore[assignment]
+        if self.path == "/healthz":
+            self._send_json({"ok": True, "device": srv.tts_device})
+        elif self.path == "/stats":
+            st = srv.tts_engine.stats
+            self._send_json(
+                {
+                    "requests": st.requests,
+                    "batches": st.batches,
+                    "errors": st.errors,
+                    "mean_batch": st.mean_batch,
+                    "mean_latency_ms": st.mean_latency_ms,
+                }
+            )
+        else:
+            self._send_error_json(404, f"no such path: {self.path}")
+
+    def do_POST(self):  # noqa: N802
+        srv = self.server  # type: ignore[assignment]
+        try:
+            body = self._json_body()
+            text = body.get("text")
+            if not isinstance(text, str) or not text:
+                raise ValueError("'text' (non-empty string) is required")
+            kwargs = dict(
+                text=text,
+                lang=body.get("lang", "yue"),
+                phone=body.get("phone"),
+            )
+            spk = body.get("spk_embed")
+            if spk is not None:
+                kwargs["spk_embed"] = np.asarray(spk, np.float32)
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send_error_json(400, str(e))
+            return
+
+        if self.path == "/tts":
+            self._tts(srv, kwargs)
+        elif self.path == "/tts/stream":
+            self._tts_stream(srv, kwargs)
+        else:
+            self._send_error_json(404, f"no such path: {self.path}")
+
+    def _tts(self, srv, kwargs) -> None:
+        try:
+            res = srv.tts_engine.submit(**kwargs).result(
+                timeout=srv.tts_request_timeout
+            )
+        except ValueError as e:  # bad language / unknown char / bad phone
+            self._send_error_json(400, str(e))
+            return
+        except Exception as e:  # noqa: BLE001
+            self._send_error_json(500, f"{type(e).__name__}: {e}")
+            return
+        data = wav_bytes(res.wav, srv.tts_sample_rate)
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _tts_stream(self, srv, kwargs) -> None:
+        if srv.tts_lane is None:
+            self._send_error_json(
+                404, "streaming lane disabled (start the server with streaming)"
+            )
+            return
+        try:
+            handle = srv.tts_lane.submit(**kwargs)
+            chunks = iter(handle)
+            first = next(chunks)  # surface prepare errors before headers go out
+        except ValueError as e:
+            self._send_error_json(400, str(e))
+            return
+        except StopIteration:
+            first = None
+        except Exception as e:  # noqa: BLE001
+            self._send_error_json(500, f"{type(e).__name__}: {e}")
+            return
+
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        self._chunk(wav_header(-1, srv.tts_sample_rate))
+        try:
+            if first is not None:
+                self._chunk(pcm16_of(np.asarray(first)).tobytes())
+                for chunk in chunks:
+                    self._chunk(pcm16_of(np.asarray(chunk)).tobytes())
+        except Exception:  # noqa: BLE001 — mid-stream failure: cut the stream
+            pass
+        self._chunk(b"")  # terminating chunk
+
+
+class TTSServer:
+    """Owns the HTTP server + serving engines around one Synthesizer.
+
+    Lifecycle: construct (starts the engine worker + HTTP thread), serve,
+    `close()`. `port` is resolved after bind, so `port=0` works for tests.
+    """
+
+    def __init__(
+        self,
+        synthesizer,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+        *,
+        max_batch: int = 8,
+        max_wait_ms: float = 20.0,
+        n_timesteps: int = 10,
+        length_scale: float = 1.0,
+        streaming: bool = False,
+        max_streams: int = 4,
+        chunk_frames: int = 100,
+        request_timeout: float = 600.0,
+        verbose: bool = False,
+    ):
+        from jyutvoice_tpu.pipeline.server import ServingEngine, StreamingLane
+
+        self.engine = ServingEngine(
+            synthesizer,
+            max_batch=max_batch,
+            max_wait_ms=max_wait_ms,
+            n_timesteps=n_timesteps,
+            length_scale=length_scale,
+            pcm16=True,
+        )
+        self.lane = (
+            StreamingLane(
+                synthesizer,
+                max_streams=max_streams,
+                chunk_frames=chunk_frames,
+                n_timesteps=n_timesteps,
+                pcm16=True,
+            )
+            if streaming
+            else None
+        )
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.daemon_threads = True
+        # handler context (BaseHTTPRequestHandler reaches these via .server)
+        self._httpd.tts_engine = self.engine
+        self._httpd.tts_lane = self.lane
+        self._httpd.tts_sample_rate = synthesizer.cfg.audio.sample_rate
+        self._httpd.tts_request_timeout = request_timeout
+        self._httpd.tts_verbose = verbose
+        try:
+            import jax
+
+            self._httpd.tts_device = str(jax.devices()[0])
+        except Exception:  # noqa: BLE001
+            self._httpd.tts_device = "unknown"
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="jyutvoice-http", daemon=True
+        )
+        self._thread.start()
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._thread.join(timeout=10.0)
+        self._httpd.server_close()
+        self.engine.close()
+        if self.lane is not None:
+            self.lane.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

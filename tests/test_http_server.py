@@ -1,0 +1,126 @@
+"""HTTP serving front-end: endpoints, WAV container, streaming transfer."""
+
+import json
+import urllib.error
+import urllib.request
+import wave as wave_mod
+from io import BytesIO
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+import jax
+
+from tests.test_pipeline import TINY
+from jyutvoice_tpu.models.hift import init_hift
+from jyutvoice_tpu.models.tts import init_tts
+from jyutvoice_tpu.pipeline.http_server import (
+    TTSServer,
+    pcm16_of,
+    wav_bytes,
+    wav_header,
+)
+from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+TEXT, PHONE = "佢 係邊 個", "keoi5 hai6 bin1 go3"
+
+
+@pytest.fixture(scope="module")
+def server():
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    synth = Synthesizer(TINY, params, params_hift)
+    srv = TTSServer(
+        synth, port=0, max_batch=2, max_wait_ms=5.0, n_timesteps=2,
+        streaming=True, max_streams=2, chunk_frames=50,
+    )
+    yield srv, synth
+    srv.close()
+
+
+def _url(srv, path):
+    return f"http://127.0.0.1:{srv.port}{path}"
+
+
+def _post(srv, path, body, timeout=600):
+    req = urllib.request.Request(
+        _url(srv, path),
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_wav_container_roundtrip():
+    wav = np.sin(np.linspace(0, 100, 2400)).astype(np.float32) * 0.5
+    data = wav_bytes(wav, 24000)
+    with wave_mod.open(BytesIO(data), "rb") as f:
+        assert f.getframerate() == 24000
+        assert f.getnchannels() == 1
+        assert f.getsampwidth() == 2
+        pcm = np.frombuffer(f.readframes(f.getnframes()), np.int16)
+    np.testing.assert_array_equal(pcm, pcm16_of(wav))
+
+
+def test_healthz_and_stats(server):
+    srv, _ = server
+    with urllib.request.urlopen(_url(srv, "/healthz"), timeout=60) as r:
+        assert json.loads(r.read())["ok"] is True
+    with urllib.request.urlopen(_url(srv, "/stats"), timeout=60) as r:
+        st = json.loads(r.read())
+    assert {"requests", "batches", "errors"} <= set(st)
+
+
+def test_tts_endpoint_matches_direct(server):
+    srv, synth = server
+    direct = synth.synthesize(TEXT, lang="yue", phone=PHONE, n_timesteps=2)
+    with _post(srv, "/tts", {"text": TEXT, "lang": "yue", "phone": PHONE}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    with wave_mod.open(BytesIO(data), "rb") as f:
+        assert f.getframerate() == TINY.audio.sample_rate
+        pcm = np.frombuffer(f.readframes(f.getnframes()), np.int16)
+    assert len(pcm) == len(direct.wav)
+    # engine runs the same bucketed graph; only PCM16 quantization differs
+    np.testing.assert_allclose(
+        pcm.astype(np.float32) / 32767.0, direct.wav, atol=2e-3
+    )
+
+
+def test_tts_bad_requests(server):
+    srv, _ = server
+    for body, code in [
+        ({"lang": "yue"}, 400),  # no text
+        ({"text": TEXT, "lang": "nope-such-lang"}, 400),
+        ({"text": TEXT, "lang": "yue", "phone": "bad jyutping!!"}, 400),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv, path="/tts", body=body)
+        assert ei.value.code == code
+        assert "error" in json.loads(ei.value.read())
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/nope", {"text": TEXT})
+    assert ei.value.code == 404
+
+
+def test_tts_stream_endpoint(server):
+    srv, synth = server
+    with _post(srv, "/tts/stream", {"text": TEXT, "lang": "yue", "phone": PHONE}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()  # urllib de-chunks transfer-encoding
+    header, pcm_raw = data[:44], data[44:]
+    assert header[:4] == b"RIFF" and header[8:12] == b"WAVE"
+    pcm = np.frombuffer(pcm_raw, np.int16)
+    direct = synth.synthesize(TEXT, lang="yue", phone=PHONE, n_timesteps=2)
+    # streaming emits whole chunk_frames*480-sample ticks (clipped to the
+    # true length); content is the streaming pipeline's (overlap decode),
+    # so only the length is pinned here (content parity: test_streaming.py)
+    assert len(pcm) == len(direct.wav)
+    assert np.abs(pcm).max() > 0
+
+
+def test_streaming_header_unbounded():
+    h = wav_header(-1, 24000)
+    assert h[4:8] == b"\xff\xff\xff\xff"
