@@ -40,6 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--streaming", action="store_true", help="enable POST /tts/stream"
     )
+    ap.add_argument(
+        "--campplus", help="campplus.onnx for ref_audio_b64 speaker embedding"
+    )
+    ap.add_argument(
+        "--s3-tokenizer",
+        help="speech tokenizer weights (onnx or torch) for ref_audio_b64",
+    )
+    ap.add_argument(
+        "--flow-encoder",
+        help="flow-encoder weights (.npz/.pt) for ref_audio_b64 prompt states",
+    )
     ap.add_argument("--max-streams", type=int, default=4)
     ap.add_argument("--chunk-frames", type=int, default=100)
     ap.add_argument("--verbose", action="store_true")
@@ -71,6 +82,24 @@ def main(argv=None) -> None:
         params = _load_params(args.ckpt, "tts", cfg)
         params_hift = _load_params(args.hift, "hift", cfg)
 
+    extractor = None
+    if args.campplus or args.s3_tokenizer or args.flow_encoder:
+        from jyutvoice_tpu.pipeline.prompt import PromptExtractor
+
+        fe_params = (
+            _load_params(args.flow_encoder, "flow_encoder", cfg)
+            if args.flow_encoder
+            else None
+        )
+        s3 = args.s3_tokenizer or ""
+        extractor = PromptExtractor(
+            flow_encoder_params=fe_params,
+            flow_encoder_cfg=cfg.flow_encoder,
+            campplus_onnx=args.campplus,
+            tokenizer_onnx=s3 if s3.endswith(".onnx") else None,
+            tokenizer_torch=s3 if s3 and not s3.endswith(".onnx") else None,
+        )
+
     synth = Synthesizer(cfg, params, params_hift)
     server = TTSServer(
         synth,
@@ -84,6 +113,7 @@ def main(argv=None) -> None:
         max_streams=args.max_streams,
         chunk_frames=args.chunk_frames,
         verbose=args.verbose,
+        prompt_extractor=extractor,
     )
     log.info(
         "serving on http://%s:%d (device: %s, streaming: %s)",

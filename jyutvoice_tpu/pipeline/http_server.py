@@ -10,10 +10,20 @@ service on a TPU host:
   GET  /stats       -> serving stats JSON (request/batch/latency counters)
   POST /tts         -> audio/wav (16-bit PCM, 24 kHz)
                        body: {"text": "...", "lang": "yue", "phone": null,
-                              "spk_embed": [192 floats] (optional)}
+                              "spk_embed": [192 floats] (optional),
+                              "ref_audio_b64": "<base64 WAV>" (optional)}
   POST /tts/stream  -> chunked-transfer audio/wav whose PCM arrives as the
                        model generates it (multi-stream lane: concurrent
                        streams share one device dispatch per tick)
+
+Zero-shot cloning over HTTP: pass a base64-encoded PCM WAV as
+`ref_audio_b64` and the server extracts prompt features (CAM++ speaker
+embedding, speech tokens -> flow-encoder hidden states, 24 kHz mel) through
+the on-device PromptExtractor, caching by content hash so a repeated voice
+costs one extraction. Requires the server to be constructed with a
+`prompt_extractor` (cli/serve.py --campplus/--s3-tokenizer/--flow-encoder).
+The streaming lane conditions on the speaker embedding only (its fused slot
+graph is compiled without prompt frames).
 
 stdlib `http.server` is deliberate: zero new dependencies, and a threaded
 server maps 1:1 onto the engines' Future/iterator surfaces (the GIL is
@@ -69,6 +79,29 @@ def wav_header(num_samples: int, sample_rate: int) -> bytes:
 def wav_bytes(wav: np.ndarray, sample_rate: int) -> bytes:
     pcm = pcm16_of(wav)
     return wav_header(len(pcm), sample_rate) + pcm.tobytes()
+
+
+def decode_wav(data: bytes):
+    """PCM WAV bytes -> (mono float32 [-1,1], sample_rate)."""
+    import wave
+    from io import BytesIO
+
+    with wave.open(BytesIO(data), "rb") as f:
+        sr = f.getframerate()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+        nch = f.getnchannels()
+    if width == 2:
+        audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 1:
+        audio = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        audio = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        audio = audio.reshape(-1, nch).mean(axis=1)
+    return audio, sr
 
 
 # ---------------------------------------------------------------------------
@@ -146,8 +179,18 @@ class _Handler(BaseHTTPRequestHandler):
             spk = body.get("spk_embed")
             if spk is not None:
                 kwargs["spk_embed"] = np.asarray(spk, np.float32)
+            ref_b64 = body.get("ref_audio_b64")
+            if ref_b64 is not None:
+                pf = self._extract_prompt(srv, ref_b64)
+                kwargs["spk_embed"] = pf.spk_embed
+                if pf.prompt_h is not None and self.path == "/tts":
+                    kwargs["prompt_feat"] = pf.prompt_feat
+                    kwargs["prompt_h"] = pf.prompt_h
         except (ValueError, json.JSONDecodeError) as e:
             self._send_error_json(400, str(e))
+            return
+        except Exception as e:  # noqa: BLE001 — e.g. prompt extraction failure
+            self._send_error_json(500, f"{type(e).__name__}: {e}")
             return
 
         if self.path == "/tts":
@@ -156,6 +199,34 @@ class _Handler(BaseHTTPRequestHandler):
             self._tts_stream(srv, kwargs)
         else:
             self._send_error_json(404, f"no such path: {self.path}")
+
+    def _extract_prompt(self, srv, ref_b64: str):
+        """base64 WAV -> PromptFeatures, memoized by content hash."""
+        import base64
+        import hashlib
+
+        if srv.tts_prompt_extractor is None:
+            raise ValueError(
+                "this server was started without prompt models "
+                "(--campplus/--s3-tokenizer/--flow-encoder); "
+                "ref_audio_b64 is unavailable"
+            )
+        try:
+            data = base64.b64decode(ref_b64, validate=True)
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(f"ref_audio_b64 is not valid base64: {e}")
+        key = hashlib.sha256(data).hexdigest()
+        cache = srv.tts_prompt_cache
+        with srv.tts_prompt_lock:
+            if key in cache:
+                return cache[key]
+        audio, sr = decode_wav(data)
+        pf = srv.tts_prompt_extractor(audio, sr)
+        with srv.tts_prompt_lock:
+            if len(cache) >= 16:  # bounded content-hash LRU
+                cache.pop(next(iter(cache)))
+            cache[key] = pf
+        return pf
 
     def _tts(self, srv, kwargs) -> None:
         try:
@@ -231,6 +302,7 @@ class TTSServer:
         chunk_frames: int = 100,
         request_timeout: float = 600.0,
         verbose: bool = False,
+        prompt_extractor=None,
     ):
         from jyutvoice_tpu.pipeline.server import ServingEngine, StreamingLane
 
@@ -261,6 +333,9 @@ class TTSServer:
         self._httpd.tts_sample_rate = synthesizer.cfg.audio.sample_rate
         self._httpd.tts_request_timeout = request_timeout
         self._httpd.tts_verbose = verbose
+        self._httpd.tts_prompt_extractor = prompt_extractor
+        self._httpd.tts_prompt_cache = {}
+        self._httpd.tts_prompt_lock = threading.Lock()
         try:
             import jax
 

@@ -41,10 +41,10 @@ def main():
     params_hift = init_hift(jax.random.PRNGKey(1), cfg.hift)
     synth = Synthesizer(cfg, params, params_hift)
 
-    # ~5.5 s utterance (same workload as scripts/bench_serving.py)
-    phone = "keoi5 hai6 bin1 go3 aa3 " * 8
+    # ~6 s utterance (same workload as scripts/bench_serving.py)
+    phone = " ".join(["keoi5 hai6 bin1 go3 aa3"] * 6)
     body = json.dumps(
-        {"text": "佢係邊個呀" * 8, "lang": "yue", "phone": phone.strip()}
+        {"text": "佢 係邊 個 呀 " * 6, "lang": "yue", "phone": phone}
     ).encode()
 
     with TTSServer(
@@ -57,8 +57,13 @@ def main():
             req = urllib.request.Request(
                 url, data=body, headers={"Content-Type": "application/json"}
             )
-            with urllib.request.urlopen(req, timeout=1200) as r:
-                return len(r.read())
+            try:
+                with urllib.request.urlopen(req, timeout=1200) as r:
+                    return len(r.read())
+            except urllib.error.HTTPError as e:
+                raise RuntimeError(
+                    f"HTTP {e.code}: {e.read().decode()[:500]}"
+                ) from None
 
         print("warmup (compiles)...", flush=True)
         post()

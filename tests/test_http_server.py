@@ -124,3 +124,58 @@ def test_tts_stream_endpoint(server):
 def test_streaming_header_unbounded():
     h = wav_header(-1, 24000)
     assert h[4:8] == b"\xff\xff\xff\xff"
+
+
+def test_decode_wav_roundtrip():
+    from jyutvoice_tpu.pipeline.http_server import decode_wav
+
+    wav = (np.sin(np.linspace(0, 60, 1600)) * 0.7).astype(np.float32)
+    audio, sr = decode_wav(wav_bytes(wav, 16000))
+    assert sr == 16000
+    np.testing.assert_allclose(audio, wav, atol=1e-4)
+
+
+def test_ref_audio_without_extractor_is_400(server):
+    srv, _ = server
+    import base64
+
+    wav = np.zeros(1600, np.float32)
+    b64 = base64.b64encode(wav_bytes(wav, 16000)).decode()
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/tts", {"text": TEXT, "lang": "yue", "phone": PHONE,
+                            "ref_audio_b64": b64})
+    assert ei.value.code == 400
+    assert "prompt models" in json.loads(ei.value.read())["error"]
+
+
+def test_ref_audio_cloning_path():
+    """ref_audio_b64 -> PromptExtractor -> engine, with content-hash cache.
+
+    Extractor has no aux models here (spk=zeros, no tokens): exercises the
+    decode/b64/cache/submit plumbing; prompt numerical parity is covered by
+    tests/test_tts_parity.py and tests/test_campplus.py."""
+    import base64
+
+    from jyutvoice_tpu.pipeline.prompt import PromptExtractor
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    synth = Synthesizer(TINY, params, params_hift)
+    srv = TTSServer(
+        synth, port=0, max_batch=2, max_wait_ms=5.0, n_timesteps=2,
+        prompt_extractor=PromptExtractor(),
+    )
+    try:
+        rng = np.random.default_rng(0)
+        ref = (rng.standard_normal(24000) * 0.1).astype(np.float32)
+        b64 = base64.b64encode(wav_bytes(ref, 24000)).decode()
+        body = {"text": TEXT, "lang": "yue", "phone": PHONE,
+                "ref_audio_b64": b64}
+        with _post(srv, "/tts", body) as r:
+            first = r.read()
+        with _post(srv, "/tts", body) as r:
+            second = r.read()
+        assert first == second
+        assert len(srv._httpd.tts_prompt_cache) == 1  # memoized by hash
+    finally:
+        srv.close()
