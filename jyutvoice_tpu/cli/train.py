@@ -101,6 +101,36 @@ def _validation_pass(cfg, tr, state, dm, mesh, n_dev, rep):
     }
 
 
+# ---------------------------------------------------------------------------
+# Preemption safety: TPU pool evictions deliver SIGTERM with a grace window.
+# The reference has no preemption story (Lightning just dies mid-epoch);
+# here the signal requests a stop at the next step boundary and the normal
+# end-of-training checkpoint save makes the run resumable via --ckpt-dir.
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+
+_PREEMPTED = _threading.Event()
+
+
+def request_stop() -> None:
+    """Programmatic preemption request (what SIGTERM/SIGINT trigger)."""
+    _PREEMPTED.set()
+
+
+def _install_preemption_handler() -> None:
+    import signal
+
+    def _on_signal(signum, frame):  # noqa: ARG001
+        _PREEMPTED.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_signal)
+        signal.signal(signal.SIGINT, _on_signal)
+    except ValueError:
+        pass  # not the main thread (e.g. tests driving main() in a thread)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="JyutVoice-TPU training")
     parser.add_argument("--dataset", default=None, help="HF dataset dir")
@@ -228,6 +258,8 @@ def main(argv=None):
         t_start = time.time()
         from jyutvoice_tpu.train.prefetch import prefetch
 
+        _install_preemption_handler()
+
         for epoch in range(tr.max_epochs):
             for batch in prefetch(dm.train_batches(epoch)):
                 b = batch["x"].shape[0]
@@ -263,6 +295,12 @@ def main(argv=None):
                          "step": global_step},
                     )
                 if args.max_steps and global_step >= args.max_steps:
+                    break
+                if _PREEMPTED.is_set():
+                    log.warning(
+                        "preemption signal received: stopping at step %d "
+                        "(resumable checkpoint follows)", global_step,
+                    )
                     break
             else:
                 # ---- validation at epoch end (reference runs val every

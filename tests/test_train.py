@@ -333,3 +333,23 @@ def test_lr_schedule_composition():
 
     with pytest.raises(ValueError):
         lr_schedule(dataclasses.replace(base, scheduler="bogus"))
+
+
+def test_preemption_stop_saves_resumable_checkpoint(tmp_path):
+    """SIGTERM-path (request_stop is what the handler sets): the loop stops
+    at the next step boundary and writes a resumable checkpoint."""
+    from jyutvoice_tpu.cli import train as train_cli
+    from jyutvoice_tpu.train import checkpoints as ckpt
+
+    train_cli.request_stop()  # pre-armed: stop after the first step
+    try:
+        train_cli.main([
+            "--dummy", "--batch-size", "8", "--epochs", "3",
+            "--ckpt-dir", str(tmp_path), "--save-every", "100000",
+        ])
+    finally:
+        train_cli._PREEMPTED.clear()
+    step = ckpt.latest_step(str(tmp_path))
+    assert step == 1  # stopped at the first boundary, checkpoint written
+    restored = ckpt.restore(str(tmp_path), step)
+    assert restored["step"] == 1
