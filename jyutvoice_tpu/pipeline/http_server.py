@@ -152,15 +152,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json({"ok": True, "device": srv.tts_device})
         elif self.path == "/stats":
             st = srv.tts_engine.stats
-            self._send_json(
-                {
-                    "requests": st.requests,
-                    "batches": st.batches,
-                    "errors": st.errors,
-                    "mean_batch": st.mean_batch,
-                    "mean_latency_ms": st.mean_latency_ms,
-                }
-            )
+            out = {
+                "requests": st.requests,
+                "batches": st.batches,
+                "errors": st.errors,
+                "mean_batch": st.mean_batch,
+                "mean_latency_ms": st.mean_latency_ms,
+                "queued": srv.tts_engine._q.qsize(),
+                "cached_voices": len(srv.tts_prompt_cache),
+            }
+            if srv.tts_lane is not None:
+                out["active_streams"] = len(srv.tts_lane._handles)
+            self._send_json(out)
         else:
             self._send_error_json(404, f"no such path: {self.path}")
 

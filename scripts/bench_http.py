@@ -49,7 +49,7 @@ def main():
 
     with TTSServer(
         synth, port=0, max_batch=args.max_batch, max_wait_ms=20.0,
-        n_timesteps=args.n_timesteps,
+        n_timesteps=args.n_timesteps, request_timeout=3600.0,
     ) as srv:
         url = f"http://127.0.0.1:{srv.port}/tts"
 
@@ -66,7 +66,18 @@ def main():
                 ) from None
 
         print("warmup (compiles)...", flush=True)
-        post()
+        # realized group sizes pad to powers of two — warm each batch graph
+        # (1, 2, 4, ..., max_batch) or the measurement times compiles
+        sizes = [1]
+        while sizes[-1] < args.max_batch:
+            sizes.append(sizes[-1] * 2)
+        for s in sizes:
+            ws = [threading.Thread(target=post) for _ in range(s)]
+            for w in ws:
+                w.start()
+            for w in ws:
+                w.join()
+            print(f"  batch-{s} graph warm", flush=True)
 
         latencies = []
         bytes_total = [0]
