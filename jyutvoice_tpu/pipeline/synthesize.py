@@ -406,6 +406,134 @@ class Synthesizer:
             yield chunk[:emit]
             total += emit
 
+    def synthesize_long(
+        self,
+        text: str,
+        lang: str = "yue",
+        phone: Optional[str] = None,
+        spk_embed: Optional[np.ndarray] = None,
+        mesh=None,
+        n_timesteps: int = 10,
+        length_scale: float = 1.0,
+    ) -> SynthesisResult:
+        """One-pass long-form synthesis, optionally sequence-parallel.
+
+        With `mesh` (a jax.sharding.Mesh with a "seq" axis — dist/sp.py),
+        the CFM decode shards the sequence axis across the mesh: per-chip
+        attention memory/FLOPs drop n_seq-fold, so utterances past the
+        single-chip quadratic-attention wall decode in ONE Euler solve
+        instead of chunked streaming. mesh=None runs the same path on one
+        device (still removes the 15000-frame noise-buffer cap via the
+        deterministic extended stream, weights/noise.py). Conditions on the
+        speaker embedding only (prompt-frame cloning: use synthesize /
+        synthesize_streaming). The vocoder is linear in T and stays
+        single-device.
+        """
+        import jax.numpy as jnp
+
+        from jyutvoice_tpu.weights.noise import rand_noise_extended
+
+        t0 = time.perf_counter()
+        n_seq = 1
+        if mesh is not None:
+            from jyutvoice_tpu.dist.sp import SEQ_AXIS
+
+            n_seq = mesh.shape[SEQ_AXIS]
+        # frame granule: keeps the shape table small and divisible by the
+        # mesh's seq axis (buckets are powers of two, so any pow2 n_seq
+        # up to 32 divides them; the granule guards non-bucket sizes too)
+        granule = max(32, n_seq)
+        mu_y, c, y_len = self.prepare_stream(
+            text, lang=lang, phone=phone, spk_embed=spk_embed,
+            chunk_frames=granule, length_scale=length_scale,
+        )
+        want = int(np.ceil(y_len / granule)) * granule
+        if want <= bkt.MEL_BUCKETS[-1]:
+            t_mel = bkt.pick_bucket(want, bkt.MEL_BUCKETS)
+            if t_mel % n_seq:
+                t_mel = want
+        else:
+            t_mel = want
+        t1 = time.perf_counter()
+
+        mu = np.zeros((1, t_mel, 80), np.float32)
+        mu[0, :y_len] = np.asarray(mu_y)[:y_len]
+        mask = (np.arange(t_mel) < y_len).astype(np.float32)[None, :, None]
+        spks = np.asarray(c, np.float32).reshape(1, -1)
+        cond = np.zeros((1, t_mel, 80), np.float32)
+        noise = jnp.asarray(rand_noise_extended(t_mel))
+
+        if mesh is None:
+            key = ("long_solve", t_mel, n_timesteps)
+            if key not in self._mel_fns:
+                cfm_cfg = self.cfg.tts.cfm
+
+                @jax.jit
+                def solve(dec, mu, mask, spks, cond, noise):
+                    from jyutvoice_tpu.models.cfm import cfm_forward
+
+                    return cfm_forward(
+                        dec, cfm_cfg, mu, mask, spks, cond,
+                        n_timesteps=n_timesteps, rand_noise=noise,
+                    )
+
+                self._mel_fns[key] = solve
+            mel = self._mel_fns[key](
+                self.params_tts["decoder"], jnp.asarray(mu),
+                jnp.asarray(mask), jnp.asarray(spks), jnp.asarray(cond),
+                noise,
+            )
+        else:
+            from jyutvoice_tpu.dist.sp import (
+                seq_sharding,
+                sp_cfm_solve,
+                sp_param_shardings,
+            )
+
+            key = ("long_sp", id(mesh), n_timesteps)
+            if key not in self._mel_fns:
+                run = sp_cfm_solve(
+                    self.params_tts["decoder"], self.cfg.tts.cfm, mesh,
+                    n_timesteps=n_timesteps,
+                )
+                dec = jax.device_put(
+                    self.params_tts["decoder"],
+                    sp_param_shardings(self.params_tts["decoder"], mesh),
+                )
+                self._mel_fns[key] = (run, dec)
+            run, dec = self._mel_fns[key]
+            seq = seq_sharding(mesh)
+            mel = run(
+                dec,
+                jax.device_put(jnp.asarray(mu), seq),
+                jax.device_put(jnp.asarray(mask), seq),
+                jnp.asarray(spks),
+                jax.device_put(jnp.asarray(cond), seq),
+                noise,
+            )
+            mel = jax.device_put(mel, jax.devices()[0])  # gather for vocode
+        t2 = time.perf_counter()
+
+        wav = self._voc_fn(t_mel)(self.params_hift, mel)
+        wav_np = np.asarray(wav)
+        t3 = time.perf_counter()
+
+        num_samples = y_len * self.cfg.audio.hop_length
+        audio_seconds = num_samples / self.cfg.audio.sample_rate
+        elapsed = t3 - t0
+        return SynthesisResult(
+            wav=wav_np[0, :num_samples],
+            mel=np.asarray(mel)[0, :y_len],
+            mel_frames=y_len,
+            rtf=elapsed / max(audio_seconds, 1e-9),
+            timings={
+                "frontend_and_duration": t1 - t0,
+                "mel": t2 - t1,
+                "vocoder": t3 - t2,
+                "total": elapsed,
+            },
+        )
+
     def synthesize_batch_dispatch(
         self,
         items,

@@ -105,3 +105,32 @@ def test_sp_rejects_indivisible_t(setup):
     with pytest.raises(ValueError, match="not divisible"):
         run(params["decoder"], mu[:, :63], mask[:, :63], spks,
             cond[:, :63], noise[:, :63])
+
+
+def test_synthesize_long_pipeline_matches_plain_and_sp():
+    """Pipeline surface: synthesize_long == synthesize content (single
+    device), and the SP-mesh decode == the single-device long path."""
+    from jyutvoice_tpu.models.hift import init_hift
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    synth = Synthesizer(TINY, params, params_hift)
+    kw = dict(lang="yue", phone="keoi5 hai6 bin1 go3", n_timesteps=2)
+
+    plain = synth.synthesize("佢 係邊 個", **kw)
+    single = synth.synthesize_long("佢 係邊 個", mesh=None, **kw)
+    assert single.mel_frames == plain.mel_frames
+    # the two paths compute the duration-expand at different padded lengths:
+    # reduction-order f32 wobble (~1e-6 mel) is amplified by the vocoder's
+    # cumsum sine phase, so mel compares tightly but wav by correlation
+    np.testing.assert_allclose(single.mel, plain.mel, atol=1e-3)
+    n = min(len(single.wav), len(plain.wav))
+    corr = np.corrcoef(single.wav[:n], plain.wav[:n])[0, 1]
+    assert corr > 0.999, corr
+
+    sp = synth.synthesize_long("佢 係邊 個", mesh=make_sp_mesh(8), **kw)
+    assert sp.mel_frames == single.mel_frames
+    np.testing.assert_allclose(sp.mel, single.mel, atol=2e-5, rtol=1e-4)
+    corr = np.corrcoef(sp.wav, single.wav)[0, 1]
+    assert corr > 0.9999, corr
