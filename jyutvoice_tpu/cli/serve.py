@@ -119,11 +119,25 @@ def main(argv=None) -> None:
         "serving on http://%s:%d (device: %s, streaming: %s)",
         server.host, server.port, jax.devices()[0], args.streaming,
     )
-    try:
-        while True:
-            import time
+    # block until SIGTERM/SIGINT, then drain cleanly (in-flight requests
+    # finish; new submits are rejected) — the serving twin of the training
+    # CLI's preemption handling
+    import signal
+    import threading
 
-            time.sleep(3600)
+    stop = threading.Event()
+
+    def _on_signal(signum, frame):  # noqa: ARG001
+        stop.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_signal)
+        signal.signal(signal.SIGINT, _on_signal)
+    except ValueError:
+        pass  # not the main thread (tests)
+    try:
+        stop.wait()
+        log.info("shutdown signal received: draining")
     except KeyboardInterrupt:
         log.info("shutting down")
     finally:

@@ -121,6 +121,37 @@ def test_tts_stream_endpoint(server):
     assert np.abs(pcm).max() > 0
 
 
+def test_concurrent_requests_coalesce(server):
+    """Parallel clients ride one batched dispatch (dynamic batching
+    through the HTTP layer), all succeed, results are per-request."""
+    import threading
+
+    srv, synth = server
+    texts = [("佢 係邊 個", "keoi5 hai6 bin1 go3"),
+             ("你好", "nei5 hou2"),
+             ("我 哋 去", "ngo5 dei6 heoi3"),
+             ("佢 係邊 個", "keoi5 hai6 bin1 go3")]
+    before = srv.engine.stats.batches
+    results = {}
+
+    def post_one(i, text, phone):
+        with _post(srv, "/tts", {"text": text, "lang": "yue",
+                                 "phone": phone}) as r:
+            results[i] = r.read()
+
+    ts = [threading.Thread(target=post_one, args=(i, t, p))
+          for i, (t, p) in enumerate(texts)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(results) == 4
+    assert results[0] == results[3]  # identical requests -> identical wavs
+    assert results[0] != results[1]
+    # coalesced: fewer batches than requests (max_batch=2 in the fixture)
+    assert srv.engine.stats.batches - before <= 3
+
+
 def test_streaming_header_unbounded():
     h = wav_header(-1, 24000)
     assert h[4:8] == b"\xff\xff\xff\xff"
