@@ -129,6 +129,14 @@ def apply_transformer_block(p, x: Array, attn_ctx: dict, n_heads: int) -> Array:
     return x + maybe_linear(p["ff_out"], h)
 
 
+def use_compact_scores(batch2: int, t: int) -> bool:
+    """bf16-score gate (backend check excluded; see _attend for rationale):
+    total query rows >= 8192 (the batch-8 serving / batch-16 training
+    regime) OR T >= 1536 (long-form decodes, where the quadratic
+    (2B,H,T,T) score tensor dominates HBM traffic even at batch 1)."""
+    return batch2 * t >= 8192 or t >= 1536
+
+
 def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
     """Dispatch attention backend: fused Pallas flash kernel (no (T,T) bias
     materialization) or the XLA SDPA path."""
@@ -158,11 +166,16 @@ def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
     # bit-identical, but far inside the 1e-2 mel-parity budget). Only pays
     # once the (2B,H,T,T) scores dominate: measured 2.5x on the 10-step
     # solve at 2B=16/T=512 but a ~2-4% loss at 2B<=8, so gate on total
-    # query rows; CPU keeps true-f32 scores for parity tests. Note the
-    # gate makes large-batch output differ from small-batch output by the
+    # query rows — PLUS a sequence-length clause for long-form decodes,
+    # where the quadratic score tensor dominates even at batch 1: solve
+    # 392->111 ms at T=1536, 677->367 at T=2048, 1485->779 at T=3072
+    # (round-3 gate sweep; envelope in scripts/profile_longform.py; f32
+    # still wins at T<=1024: 55 vs 60 ms). CPU keeps true-f32 scores for
+    # parity tests. Note the gate makes
+    # large-batch/long-T output differ from small-batch output by the
     # rounding shift (a deliberate throughput/determinism trade).
-    compact = (
-        jax.default_backend() == "tpu" and x.shape[0] * x.shape[1] >= 8192
+    compact = jax.default_backend() == "tpu" and use_compact_scores(
+        x.shape[0], x.shape[1]
     )
     return attention.plain_mha(
         p, x, ctx["bias"], n_heads, compact_scores=compact

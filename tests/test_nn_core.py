@@ -297,3 +297,32 @@ def test_rand_noise_cap_and_extension():
     # seed-0 prefix preserved; extension is position-indexed (prefix-stable)
     np.testing.assert_array_equal(a[0, :_FRAMES], rand_noise(_FRAMES)[0])
     np.testing.assert_array_equal(a[0, _FRAMES:], b[0, _FRAMES:_FRAMES + 7])
+
+
+def test_compact_scores_gate_and_tolerance(rng):
+    """The bf16-score fast path (estimator._attend gate) must stay inside
+    the mel-parity budget and the gate must cover both regimes."""
+    from jyutvoice_tpu.models.estimator import use_compact_scores
+
+    # batch regime: 2B*T rows; long-form regime: T alone.
+    assert use_compact_scores(16, 512)        # 8192 rows (batch-8 serving)
+    assert not use_compact_scores(8, 512)     # 4096 rows: f32 wins
+    assert use_compact_scores(2, 1536)        # long-form clause
+    assert not use_compact_scores(2, 1024)    # f32 still wins at T<=1024
+    assert use_compact_scores(1, 2048)
+
+    b, h, t, d = 2, 8, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    bias = jnp.where(
+        jnp.arange(t)[None, None, None, :] < t - 17, 0.0, -1e10
+    ).astype(jnp.float32)
+    ref = attention.sdpa(q, k, v, bias)
+    fast = attention.sdpa(q, k, v, bias, compact_scores=True)
+    diff = float(jnp.max(jnp.abs(fast - ref)))
+    # measured ~2e-4 abs/op on TPU; allow headroom, but far under the
+    # 1e-2 end-to-end mel budget
+    assert diff < 5e-2, diff
+    corr = float(jnp.corrcoef(fast.ravel(), ref.ravel())[0, 1])
+    assert corr > 0.9999, corr
