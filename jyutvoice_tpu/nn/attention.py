@@ -211,10 +211,12 @@ def rel_shift_gather(matrix_bd: Array, t_q: int, t_k: int) -> Array:
     assert tq == t_q
     # The flat reshape+slice is only valid while every row's band stays
     # inside its own input row: column tq-1-i+j must be <= w-1 even at
-    # i=0, i.e. t_k <= w - tq + 1. Beyond that (including the degenerate
-    # t == 1 shapes), fall back to the gather so misuse can't silently
-    # read cross-row values.
-    if t_k > w - tq + 1:
+    # i=0, i.e. t_k <= w - tq + 1. The extracted band is also only w-1
+    # wide, so t_k <= w - 1 is required too (the conditions differ exactly
+    # at t_q == 1, where the flat path would yield a zero-width band).
+    # Outside both, fall back to the gather so misuse can't silently read
+    # cross-row values.
+    if t_k > w - tq + 1 or t_k > w - 1:
         i = jnp.arange(t_q)[:, None]
         j = jnp.arange(t_k)[None, :]
         idx = (t_q - 1) - i + j

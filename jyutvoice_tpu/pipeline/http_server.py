@@ -36,6 +36,8 @@ from __future__ import annotations
 import json
 import struct
 import threading
+from collections import OrderedDict
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -222,13 +224,31 @@ class _Handler(BaseHTTPRequestHandler):
         cache = srv.tts_prompt_cache
         with srv.tts_prompt_lock:
             if key in cache:
+                cache.move_to_end(key)  # true LRU: refresh on hit
                 return cache[key]
-        audio, sr = decode_wav(data)
-        pf = srv.tts_prompt_extractor(audio, sr)
+            # dedupe concurrent extraction of the same voice: first caller
+            # owns the device work, the rest wait on its future
+            fut = srv.tts_prompt_inflight.get(key)
+            owner = fut is None
+            if owner:
+                fut = Future()
+                srv.tts_prompt_inflight[key] = fut
+        if not owner:
+            return fut.result(timeout=120.0)
+        try:
+            audio, sr = decode_wav(data)
+            pf = srv.tts_prompt_extractor(audio, sr)
+        except BaseException as e:
+            with srv.tts_prompt_lock:
+                srv.tts_prompt_inflight.pop(key, None)
+            fut.set_exception(e)
+            raise
         with srv.tts_prompt_lock:
-            if len(cache) >= 16:  # bounded content-hash LRU
-                cache.pop(next(iter(cache)))
+            while len(cache) >= srv.tts_prompt_cache_size:
+                cache.popitem(last=False)  # bounded content-hash LRU
             cache[key] = pf
+            srv.tts_prompt_inflight.pop(key, None)
+        fut.set_result(pf)
         return pf
 
     def _tts(self, srv, kwargs) -> None:
@@ -278,9 +298,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self._chunk(pcm16_of(np.asarray(first)).tobytes())
                 for chunk in chunks:
                     self._chunk(pcm16_of(np.asarray(chunk)).tobytes())
-        except Exception:  # noqa: BLE001 — mid-stream failure: cut the stream
-            pass
-        self._chunk(b"")  # terminating chunk
+            self._chunk(b"")  # terminator — only after a COMPLETE stream
+        except Exception:  # noqa: BLE001 — mid-stream failure (lane error
+            # or client disconnect): drop the connection WITHOUT the
+            # chunked terminator so the client sees an aborted transfer,
+            # never truncated audio dressed as a complete 200 response
+            self.close_connection = True
 
 
 class TTSServer:
@@ -306,6 +329,7 @@ class TTSServer:
         request_timeout: float = 600.0,
         verbose: bool = False,
         prompt_extractor=None,
+        prompt_cache_size: int = 16,
     ):
         from jyutvoice_tpu.pipeline.server import ServingEngine, StreamingLane
 
@@ -337,7 +361,9 @@ class TTSServer:
         self._httpd.tts_request_timeout = request_timeout
         self._httpd.tts_verbose = verbose
         self._httpd.tts_prompt_extractor = prompt_extractor
-        self._httpd.tts_prompt_cache = {}
+        self._httpd.tts_prompt_cache = OrderedDict()
+        self._httpd.tts_prompt_cache_size = max(1, prompt_cache_size)
+        self._httpd.tts_prompt_inflight = {}
         self._httpd.tts_prompt_lock = threading.Lock()
         try:
             import jax

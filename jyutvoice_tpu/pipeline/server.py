@@ -416,13 +416,21 @@ class StreamingLane:
             self._admit(block=self._ms.active == 0)
             if self._ms.active == 0:
                 continue
-            chunks, finished = self._ms.tick()
-            for sid, wav in chunks.items():
-                handle, remaining = self._handles[sid]
-                emit = wav[: max(0, min(len(wav), remaining))]
-                if len(emit):
-                    handle._q.put(emit)
-                self._handles[sid] = (handle, remaining - len(emit))
-            for sid in finished:
-                handle, _rem = self._handles.pop(sid)
-                handle._q.put(_StreamHandle._DONE)
+            try:
+                chunks, finished = self._ms.tick()
+                for sid, wav in chunks.items():
+                    handle, remaining = self._handles[sid]
+                    emit = wav[: max(0, min(len(wav), remaining))]
+                    if len(emit):
+                        handle._q.put(emit)
+                    self._handles[sid] = (handle, remaining - len(emit))
+                for sid in finished:
+                    handle, _rem = self._handles.pop(sid)
+                    handle._q.put(_StreamHandle._DONE)
+            except Exception as e:  # noqa: BLE001 — device/tunnel failure:
+                # fail the affected streams but keep the lane alive for new
+                # submits (a dead worker would hang every future client)
+                for handle, _rem in self._handles.values():
+                    handle._q.put(e)
+                self._handles.clear()
+                self._ms.reset()

@@ -469,6 +469,16 @@ class MultiStreamSynthesizer:
     def active(self) -> int:
         return sum(s is not None for s in self._sessions)
 
+    def reset(self) -> None:
+        """Drop every session and any in-flight dispatch (failure
+        recovery): slots free, carries zeroed, ready for new open()s."""
+        self._sessions = [None] * self.S
+        self._pending = None
+        self._held = jnp.zeros_like(self._held)
+        self._voc_tail = jnp.zeros_like(self._voc_tail)
+        self._src = jnp.zeros_like(self._src)
+        self._spk[:] = 0.0
+
     def open(
         self,
         mu_y: np.ndarray,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import time
 from typing import Dict, Optional, Tuple
 
@@ -32,6 +33,13 @@ from jyutvoice_tpu.models import tts as tts_mod
 from jyutvoice_tpu.pipeline import buckets as bkt
 from jyutvoice_tpu.text import intersperse, text_to_sequence
 from jyutvoice_tpu.weights.noise import rand_noise
+
+
+def long_frame_granule(n_seq: int) -> int:
+    """Mel-frame granule for the one-pass long-form decode: multiples of it
+    keep the jit shape table small AND are divisible by any seq-mesh size
+    (lcm, not max — a granule of 32 fails e.g. n_seq=6: 128 % 6 != 0)."""
+    return math.lcm(32, n_seq) if n_seq > 1 else 32
 
 
 @dataclasses.dataclass
@@ -439,10 +447,7 @@ class Synthesizer:
             from jyutvoice_tpu.dist.sp import SEQ_AXIS
 
             n_seq = mesh.shape[SEQ_AXIS]
-        # frame granule: keeps the shape table small and divisible by the
-        # mesh's seq axis (buckets are powers of two, so any pow2 n_seq
-        # up to 32 divides them; the granule guards non-bucket sizes too)
-        granule = max(32, n_seq)
+        granule = long_frame_granule(n_seq)
         mu_y, c, y_len = self.prepare_stream(
             text, lang=lang, phone=phone, spk_embed=spk_embed,
             chunk_frames=granule, length_scale=length_scale,

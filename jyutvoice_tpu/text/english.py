@@ -14,6 +14,7 @@ Mirrors reference text/english/g2p.py:217-305:
 from __future__ import annotations
 
 import functools
+import hashlib
 import os
 import pickle
 import re
@@ -99,8 +100,14 @@ def get_dict() -> dict:
     cache_dir = os.path.join(
         os.path.expanduser("~"), ".cache", "jyutvoice_tpu"
     )
+    # key by full path (hashed), not basename: two different dict files
+    # sharing a basename must not share a cache entry (the mtime check
+    # alone cannot detect the swap)
+    path_tag = hashlib.sha1(
+        os.path.abspath(path).encode("utf-8")
+    ).hexdigest()[:10]
     cache = os.path.join(
-        cache_dir, os.path.basename(path) + ".pickle"
+        cache_dir, f"{os.path.basename(path)}.{path_tag}.pickle"
     )
     try:
         if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(path):

@@ -210,3 +210,85 @@ def test_ref_audio_cloning_path():
         assert len(srv._httpd.tts_prompt_cache) == 1  # memoized by hash
     finally:
         srv.close()
+
+
+def test_stream_abort_closes_without_terminator(server, monkeypatch):
+    """A mid-stream server failure must abort the chunked transfer (no
+    terminating chunk), not deliver truncated audio as a complete 200."""
+    import http.client
+
+    import jyutvoice_tpu.pipeline.http_server as hs
+
+    srv, _ = server
+
+    def boom(x):
+        raise RuntimeError("injected encode failure")
+
+    monkeypatch.setattr(hs, "pcm16_of", boom)
+    body = {"text": TEXT, "lang": "yue", "phone": PHONE}
+    req = urllib.request.Request(
+        _url(srv, "/tts/stream"),
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises((http.client.IncompleteRead, ConnectionError)):
+        with urllib.request.urlopen(req, timeout=600) as r:
+            r.read()
+
+
+def test_prompt_cache_lru_and_inflight_dedup():
+    """Cache is true LRU (hits refresh recency) and concurrent identical
+    voices share ONE extraction."""
+    import base64
+    import threading as th
+
+    calls = {"n": 0}
+    gate = th.Event()
+
+    class SlowExtractor:
+        def __call__(self, audio, sr):
+            calls["n"] += 1
+            gate.wait(timeout=30)
+            return type("PF", (), {"spk_embed": np.zeros(192, np.float32),
+                                   "prompt_feat": None, "prompt_h": None})()
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    synth = Synthesizer(TINY, params, params_hift)
+    srv = TTSServer(
+        synth, port=0, max_batch=2, max_wait_ms=5.0, n_timesteps=2,
+        prompt_extractor=SlowExtractor(), prompt_cache_size=2,
+    )
+    try:
+        def b64_of(seed):
+            rng = np.random.default_rng(seed)
+            wav = (rng.standard_normal(2400) * 0.1).astype(np.float32)
+            return base64.b64encode(wav_bytes(wav, 24000)).decode()
+
+        def post(b64):
+            body = {"text": TEXT, "lang": "yue", "phone": PHONE,
+                    "ref_audio_b64": b64}
+            with _post(srv, "/tts", body) as r:
+                r.read()
+
+        # two concurrent requests for the SAME new voice: one extraction
+        a = b64_of(0)
+        t1 = th.Thread(target=post, args=(a,))
+        t2 = th.Thread(target=post, args=(a,))
+        t1.start(); t2.start()
+        import time
+        time.sleep(0.5)  # both must reach the extractor/waiter before release
+        gate.set()
+        t1.join(600); t2.join(600)
+        assert calls["n"] == 1
+        # LRU: insert B, hit A, insert C -> B (least recent) evicted, A kept
+        post(b64_of(1))          # B  (cache: A, B)
+        post(a)                  # hit A (recency: B, A)
+        post(b64_of(2))          # C evicts B (cache: A, C)
+        n_after = calls["n"]
+        post(a)                  # still cached: no new extraction
+        assert calls["n"] == n_after
+        post(b64_of(1))          # B was evicted: re-extracts
+        assert calls["n"] == n_after + 1
+    finally:
+        srv.close()

@@ -184,6 +184,22 @@ def test_rel_shift_gather_matches_espnet():
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-6)
 
 
+def test_rel_shift_gather_degenerate_tq1():
+    # out[i, j] = in[i, tq-1-i+j]; with t_q == 1 that is the identity.
+    # t_q=1, w=1 (rel_mha at T=1): the flat path's band is zero-width, so
+    # the gather fallback must be taken (regression: round-3 guard change)
+    x = jnp.arange(6.0).reshape(2, 3, 1, 1)
+    out = attention.rel_shift_gather(x, 1, 1)
+    assert out.shape == (2, 3, 1, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+    # t_q=1 with a wider band and t_k == w (chunked caller with c_len=1)
+    w = 5
+    x2 = jnp.arange(2.0 * 3 * w).reshape(2, 3, 1, w)
+    out2 = attention.rel_shift_gather(x2, 1, w)
+    assert out2.shape == (2, 3, 1, w)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x2))
+
+
 def test_espnet_rel_pos_emb_matches_torch():
     import math as m
 

@@ -134,3 +134,12 @@ def test_synthesize_long_pipeline_matches_plain_and_sp():
     np.testing.assert_allclose(sp.mel, single.mel, atol=2e-5, rtol=1e-4)
     corr = np.corrcoef(sp.wav, single.wav)[0, 1]
     assert corr > 0.9999, corr
+
+
+def test_long_frame_granule_divisible_by_any_mesh():
+    from jyutvoice_tpu.pipeline.synthesize import long_frame_granule
+
+    for n_seq in range(1, 33):
+        g = long_frame_granule(n_seq)
+        assert g % 32 == 0
+        assert g % n_seq == 0, (n_seq, g)

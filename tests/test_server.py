@@ -118,3 +118,30 @@ def test_engine_split_dispatch(synth):
             res = f.result(timeout=300)
             np.testing.assert_allclose(res.wav, want[t], atol=1e-5)
     assert eng.stats.requests == len(texts)
+
+
+def test_streaming_lane_survives_tick_failure(synth):
+    """A device/tunnel failure mid-tick fails the affected streams but
+    must NOT kill the lane worker (regression: a dead worker left every
+    later submit hanging forever)."""
+    from jyutvoice_tpu.pipeline.server import StreamingLane
+
+    with StreamingLane(synth, max_streams=2, chunk_frames=50,
+                       n_timesteps=2) as lane:
+        real_tick = lane._ms.tick
+        armed = {"on": True}
+
+        def flaky_tick():
+            if armed["on"]:
+                armed["on"] = False
+                raise RuntimeError("injected device failure")
+            return real_tick()
+
+        lane._ms.tick = flaky_tick
+        doomed = lane.submit("佢", lang="yue", phone="keoi5")
+        with pytest.raises(RuntimeError, match="injected"):
+            list(doomed)
+        # the worker is still alive: a fresh stream completes normally
+        good = lane.submit("好", lang="yue", phone="hou2")
+        wav = np.concatenate(list(good))
+        assert np.isfinite(wav).all() and len(wav) > 0
