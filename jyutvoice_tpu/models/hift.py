@@ -60,6 +60,33 @@ def apply_f0_predictor(p, mel: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
+_PHASE_BLOCK = 4096
+
+
+def _phase_cumsum_frac(f_mat: Array) -> Array:
+    """Fractional part of cumsum(f_mat, axis=1), block-segmented.
+
+    A single f32 running phase sum reaches ~1e5-1e6 cycles on long-form
+    lengths (the 9th harmonic at 61 s is ~3e5), where f32 ulp is a large
+    fraction of a cycle — instantaneous frequency quantizes audibly late in
+    the utterance. (x % 1) is a ring homomorphism, so accumulate per block
+    and carry only the fractional block totals: every partial sum stays
+    small enough that f32 keeps ~1e-4-cycle phase accuracy at any length.
+    (The torch reference shares the naive-cumsum flaw but caps at 300 s;
+    this repo decodes past it.)
+    """
+    b, length, h = f_mat.shape
+    nb = -(-length // _PHASE_BLOCK)
+    pad = nb * _PHASE_BLOCK - length
+    f = jnp.pad(f_mat, ((0, 0), (0, pad), (0, 0)))
+    f = f.reshape(b, nb, _PHASE_BLOCK, h)
+    inner = jnp.cumsum(f, axis=2)  # <= BLOCK * f_max/fs ~ 1e3 cycles
+    totals = inner[:, :, -1, :] % 1.0  # (B, nb, H) each in [0, 1)
+    carry = (jnp.cumsum(totals, axis=1) - totals) % 1.0  # exclusive scan
+    frac = (inner % 1.0 + carry[:, :, None, :]) % 1.0
+    return frac.reshape(b, nb * _PHASE_BLOCK, h)[:, :length]
+
+
 def sine_source(
     p,
     f0_up: Array,
@@ -72,7 +99,7 @@ def sine_source(
     n_harm = cfg.nb_harmonics + 1
     mult = jnp.arange(1, n_harm + 1, dtype=jnp.float32)  # (H,)
     f_mat = f0_up[:, :, None] * mult[None, None, :] / cfg.sampling_rate  # (B,L,H)
-    theta = 2.0 * jnp.pi * (jnp.cumsum(f_mat, axis=1) % 1.0)
+    theta = 2.0 * jnp.pi * _phase_cumsum_frac(f_mat)
     if deterministic or rng is None:
         phase = jnp.zeros((b, 1, n_harm))
     else:

@@ -62,6 +62,7 @@ class StreamingTokenEncoder:
         self.state = init_stream_state(self.cfg, self.t_max, chunk=self.chunk)
         self._buf: list = []  # pending tokens not yet encoded
         self._consumed = 0
+        self._final = False  # set once a partial chunk has been encoded
 
     @staticmethod
     def _raw_step(params, cfg, tokens, n, ctx, n_ctx, state):
@@ -72,6 +73,16 @@ class StreamingTokenEncoder:
         )
 
     def _encode(self, toks: np.ndarray, n: int, ctx: np.ndarray, n_ctx: int):
+        if self._final:
+            # a partial chunk has been encoded (flush() mid-stream): the KV
+            # write offset is no longer chunk-aligned, so the next full-width
+            # padded write would CLAMP (dynamic_update_slice) and overwrite
+            # the tail of the previous chunk, and the conv caches hold
+            # end-of-stream padding — refuse instead of corrupting silently
+            raise ValueError(
+                "stream already finalized by a partial-chunk flush(); "
+                "reset() before encoding a new stream"
+            )
         if self._consumed + n > self.t_max:
             # the fixed-capacity KV cache would CLAMP the write offset
             # (lax.dynamic_update_slice semantics) and silently corrupt the
@@ -93,6 +104,8 @@ class StreamingTokenEncoder:
             self.state,
         )
         self._consumed += n
+        if n < self.chunk:
+            self._final = True
         return np.asarray(h)[0, : n * self.cfg.upsample_stride]
 
     def push(self, tokens: np.ndarray) -> np.ndarray:
@@ -163,6 +176,15 @@ class StreamingSynthesizer:
         estimator_chunk_masks: bool = False,
         pcm16: bool = False,
     ):
+        if chunk_frames <= OVERLAP:
+            # the emit logic holds back OVERLAP frames for the crossfade;
+            # with chunk_frames <= OVERLAP every chunk takes the
+            # emit-everything branch and the crossfade silently never runs
+            # (periodic CFM seams at every chunk boundary)
+            raise ValueError(
+                f"chunk_frames={chunk_frames} must exceed the crossfade "
+                f"overlap ({OVERLAP} frames)"
+            )
         self.cfg = cfg
         self.params_tts = params_tts
         self.params_hift = params_hift
@@ -210,18 +232,40 @@ class StreamingSynthesizer:
         n_steps = self.n_timesteps
         est_masks = self.est_masks
         window = jnp.asarray(hann_crossfade_window(OVERLAP))
+        cfm_cfg = cfg.cfm
+        if p > 0:
+            # prompt buckets can be partially filled (p_start > 0 masks the
+            # unused prefix). The pallas attention path encodes validity as a
+            # per-row LENGTH (suffix semantics, estimator.py use_pallas) and
+            # would mis-mask a front-padded segment; the XLA path builds the
+            # bias from the arbitrary mask pattern, so force it here.
+            cfm_cfg = dataclasses.replace(
+                cfm_cfg,
+                estimator=dataclasses.replace(
+                    cfm_cfg.estimator, attention_backend="xla"
+                ),
+            )
 
         def core(
             params_tts, params_hift, z, mu, spk, cond,
-            n_valid, ov, n_new, l_emit,
+            n_valid, p_start, ov, n_new, l_emit,
             held, prev_voc_tail, hift_source,
         ):
             """z/mu/cond (seg, 80), spk (80,), held/prev_voc_tail
-            (OVERLAP, 80), hift_source (OVERLAP*480, 1); scalars traced."""
-            mask = (jnp.arange(seg)[:, None] < n_valid).astype(mu.dtype)
+            (OVERLAP, 80), hift_source (OVERLAP*480, 1); scalars traced.
+
+            Valid rows are [p_start, n_valid): a partially-filled prompt
+            bucket right-aligns the prompt against the generated frames and
+            masks rows [0, p_start). The estimator zero-masks every conv
+            input, so a zeroed prefix is exactly the implicit causal
+            left-padding of the tight layout — outputs on valid rows match
+            the exact-length graph.
+            """
+            idx = jnp.arange(seg)[:, None]
+            mask = ((idx >= p_start) & (idx < n_valid)).astype(mu.dtype)
             t_span = cfm_mod.cosine_t_span(n_steps).astype(mu.dtype)
             mel = cfm_mod.solve_euler_cfg(
-                params_tts["decoder"], cfg.cfm, (z * mask)[None], t_span,
+                params_tts["decoder"], cfm_cfg, (z * mask)[None], t_span,
                 (mu * mask)[None], mask[None], spk[None], cond[None],
                 streaming=est_masks,
             )  # (1, seg, 80)
@@ -293,12 +337,12 @@ class StreamingSynthesizer:
             @jax.jit
             def f(
                 params_tts, params_hift, z, mu, spks, cond,
-                n_valid, ov, n_new, l_emit,
+                n_valid, p_start, ov, n_new, l_emit,
                 held, prev_voc_tail, hift_source,
             ):
                 wav, out, new_held, new_tail, new_src = core(
                     params_tts, params_hift, z[0], mu[0], spks[0], cond[0],
-                    n_valid, ov, n_new, l_emit,
+                    n_valid, p_start, ov, n_new, l_emit,
                     held, prev_voc_tail, hift_source[0],
                 )
                 return wav, out, new_held, new_tail, new_src[None]
@@ -322,15 +366,22 @@ class StreamingSynthesizer:
         p = self.p_len
         step = self._get_step_fn()
 
+        # p is the prompt-bucket CAPACITY; a shorter prompt right-aligns
+        # against the generated frames (rows [p - p_valid, p)) and the
+        # leading rows are masked out in the core (p_start), so one compiled
+        # graph serves every prompt length in the bucket
         if p:
             assert prompt_feat is not None and prompt_h is not None
-            assert prompt_feat.shape[0] >= p
+            p_valid = min(prompt_feat.shape[0], p)
+        else:
+            p_valid = 0
+        p_start = p - p_valid
         # seed-0 noise indexed by ABSOLUTE frame position (prompt then mel),
         # matching the non-streaming path (reference flow_matching.py:353-354:
         # rand_noise[:, :, :T] — position-indexed, not chunk-relative);
         # beyond the reference's 15000-frame cap a deterministic PRNG
         # stream extends it, so streaming has no 300 s limit
-        noise_full = rand_noise_extended(p + t_total)[0]  # (p + T, 80)
+        noise_full = rand_noise_extended(p_valid + t_total)[0]  # (p_v + T, 80)
 
         # host-side z/mu overlap cache (assembled into each segment); the
         # mel/source carries (held, voc tail, HiFT source) live on-device
@@ -338,9 +389,9 @@ class StreamingSynthesizer:
             z_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
             mu_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
         )
-        if p:
-            state.z_cache[0, :p] = noise_full[:p]
-            state.mu_cache[0, :p] = prompt_h[:p]
+        if p_valid:
+            state.z_cache[0, p_start:p] = noise_full[:p_valid]
+            state.mu_cache[0, p_start:p] = prompt_h[:p_valid]
 
         spk_dev = jnp.asarray(spk[None])
         held = jnp.zeros((OVERLAP, 80), jnp.float32)  # device-side carry of
@@ -358,17 +409,19 @@ class StreamingSynthesizer:
             mu_seg = np.zeros((1, seg, 80), np.float32)
             z_seg = np.zeros((1, seg, 80), np.float32)
             cond = np.zeros((1, seg, 80), np.float32)
-            if p:
-                mu_seg[0, :p] = state.mu_cache[0, :p]
-                z_seg[0, :p] = state.z_cache[0, :p]
-                cond[0, :p] = prompt_feat[:p]
+            if p_valid:
+                mu_seg[0, p_start:p] = state.mu_cache[0, p_start:p]
+                z_seg[0, p_start:p] = state.z_cache[0, p_start:p]
+                cond[0, p_start:p] = prompt_feat[:p_valid]
             if ov:
                 # re-generate positions [pos-OVERLAP, pos) from cached z/mu
                 mu_seg[0, p : p + ov] = state.mu_cache[0, p:]
                 z_seg[0, p : p + ov] = state.z_cache[0, p:]
             mu_seg[0, p + ov : p + ov + n_new] = mu_y[pos : pos + n_new]
             # fresh frames draw noise at their ABSOLUTE position
-            z_seg[0, p + ov : p + ov + n_new] = noise_full[p + pos : p + pos + n_new]
+            z_seg[0, p + ov : p + ov + n_new] = noise_full[
+                p_valid + pos : p_valid + pos + n_new
+            ]
             n_valid = p + ov + n_new
 
             is_last = pos + n_new >= t_total
@@ -384,6 +437,7 @@ class StreamingSynthesizer:
                 jnp.asarray(z_seg), jnp.asarray(mu_seg), spk_dev,
                 jnp.asarray(cond),
                 jnp.asarray(n_valid, jnp.int32),
+                jnp.asarray(p_start, jnp.int32),
                 jnp.asarray(ov, jnp.int32),
                 jnp.asarray(n_new, jnp.int32),
                 jnp.asarray(l_emit, jnp.int32),
@@ -460,7 +514,7 @@ class MultiStreamSynthesizer:
             self._batch_step = jax.jit(
                 jax.vmap(
                     core,
-                    in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+                    in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
                 )
             )
         return self._batch_step
@@ -487,6 +541,12 @@ class MultiStreamSynthesizer:
         prompt_h: Optional[np.ndarray] = None,
     ) -> int:
         """Claim a free slot for a new utterance; returns the session id."""
+        t_total = mu_y.shape[0]
+        if t_total == 0:
+            # a zero-length session would never be dispatched (pos 0 >=
+            # t_total 0) nor delivered, leaking the slot and making
+            # run_all() spin forever
+            raise ValueError("mu_y is empty (0 frames); nothing to stream")
         try:
             sid = self._sessions.index(None)
         except ValueError:
@@ -494,20 +554,27 @@ class MultiStreamSynthesizer:
                 f"all {self.S} streaming slots busy; tick() until one frees"
             ) from None
         p = self.p_len
-        t_total = mu_y.shape[0]
-        noise_full = rand_noise_extended(p + t_total)[0]
-        z_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
-        mu_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
+        # partially-filled prompt bucket: right-align (see StreamingSynthesizer.stream)
         if p:
             assert prompt_feat is not None and prompt_h is not None
-            z_cache[0, :p] = noise_full[:p]
-            mu_cache[0, :p] = prompt_h[:p]
+            p_valid = min(prompt_feat.shape[0], p)
+        else:
+            p_valid = 0
+        p_start = p - p_valid
+        noise_full = rand_noise_extended(p_valid + t_total)[0]
+        z_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
+        mu_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
+        if p_valid:
+            z_cache[0, p_start:p] = noise_full[:p_valid]
+            mu_cache[0, p_start:p] = prompt_h[:p_valid]
         self._sessions[sid] = {
             "mu_y": np.asarray(mu_y, np.float32),
             "noise": noise_full,
             "z_cache": z_cache,
             "mu_cache": mu_cache,
             "prompt_feat": prompt_feat,
+            "p_valid": p_valid,
+            "p_start": p_start,
             "pos": 0,
             "has_held": False,
         }
@@ -542,6 +609,7 @@ class MultiStreamSynthesizer:
         mu = np.zeros((s_axis, seg, 80), np.float32)
         cond = np.zeros((s_axis, seg, 80), np.float32)
         n_valid = np.zeros((s_axis,), np.int32)
+        p_start_arr = np.zeros((s_axis,), np.int32)
         ov_arr = np.zeros((s_axis,), np.int32)
         n_new_arr = np.zeros((s_axis,), np.int32)
         l_emit_arr = np.zeros((s_axis,), np.int32)
@@ -553,18 +621,20 @@ class MultiStreamSynthesizer:
             pos = st["pos"]
             n_new = min(self.chunk, t_total - pos)
             ov = OVERLAP if st["has_held"] else 0
-            if p:
-                mu[sid, :p] = st["mu_cache"][0, :p]
-                z[sid, :p] = st["z_cache"][0, :p]
-                cond[sid, :p] = st["prompt_feat"][:p]
+            p_valid, p_start = st["p_valid"], st["p_start"]
+            if p_valid:
+                mu[sid, p_start:p] = st["mu_cache"][0, p_start:p]
+                z[sid, p_start:p] = st["z_cache"][0, p_start:p]
+                cond[sid, p_start:p] = st["prompt_feat"][:p_valid]
             if ov:
                 mu[sid, p : p + ov] = st["mu_cache"][0, p:]
                 z[sid, p : p + ov] = st["z_cache"][0, p:]
             mu[sid, p + ov : p + ov + n_new] = st["mu_y"][pos : pos + n_new]
             z[sid, p + ov : p + ov + n_new] = st["noise"][
-                p + pos : p + pos + n_new
+                p_valid + pos : p_valid + pos + n_new
             ]
             n_valid[sid] = p + ov + n_new
+            p_start_arr[sid] = p_start
             ov_arr[sid] = ov
             n_new_arr[sid] = n_new
             is_last = pos + n_new >= t_total
@@ -582,8 +652,9 @@ class MultiStreamSynthesizer:
         wav, _mel, self._held, self._voc_tail, self._src = step(
             self._ss.params_tts, self._ss.params_hift,
             jnp.asarray(z), jnp.asarray(mu), jnp.asarray(self._spk),
-            jnp.asarray(cond), jnp.asarray(n_valid), jnp.asarray(ov_arr),
-            jnp.asarray(n_new_arr), jnp.asarray(l_emit_arr),
+            jnp.asarray(cond), jnp.asarray(n_valid), jnp.asarray(p_start_arr),
+            jnp.asarray(ov_arr), jnp.asarray(n_new_arr),
+            jnp.asarray(l_emit_arr),
             self._held, self._voc_tail, self._src,
         )
         # host-side z/mu cache + position updates happen at DISPATCH time —

@@ -101,10 +101,13 @@ class Synthesizer:
             t_text, t_mel, t_prompt, n_steps = key
             cfg = self.cfg.tts
 
-            @functools.partial(jax.jit, static_argnames=("length_scale",))
+            # length_scale is TRACED (synthesize_mel only uses it
+            # arithmetically): a static argname here would recompile the
+            # largest graph for every distinct per-call value
+            @jax.jit
             def f(params, noise, x, x_lengths, lang, tone, word_pos,
                   syllable_pos, spk, prompt_feat, prompt_h, prompt_lengths,
-                  length_scale=1.0):
+                  length_scale):
                 return tts_mod.synthesize_mel(
                     params, cfg, x, x_lengths, lang, tone, word_pos,
                     syllable_pos, spk, prompt_feat, prompt_h, prompt_lengths,
@@ -147,10 +150,11 @@ class Synthesizer:
             cfg = self.cfg.tts
             hift_cfg = self.cfg.hift
 
-            @functools.partial(jax.jit, static_argnames=("length_scale",))
+            # length_scale traced — see _mel_fn
+            @jax.jit
             def f(params, params_hift, noise, x, x_lengths, lang, tone,
                   word_pos, syllable_pos, spk, prompt_feat, prompt_h,
-                  prompt_lengths, length_scale=1.0):
+                  prompt_lengths, length_scale):
                 out = tts_mod.synthesize_mel(
                     params, cfg, x, x_lengths, lang, tone, word_pos,
                     syllable_pos, spk, prompt_feat, prompt_h, prompt_lengths,
@@ -245,19 +249,21 @@ class Synthesizer:
             wav, mel, mel_lengths = self._fused_fn(key)(
                 self.params_tts, self.params_hift, self.noise, x, x_lengths,
                 lang_ids, tone, word_pos, syllable_pos, spk, jnp.asarray(pf),
-                jnp.asarray(ph), jnp.asarray(plen), length_scale=length_scale,
+                jnp.asarray(ph), jnp.asarray(plen),
+                length_scale=jnp.float32(length_scale),
             )
+            # ONE combined host fetch (wav + mel + lengths): each separate
+            # np.asarray/int() of a device array costs a full ~28 ms tunnel
+            # RTT (CLAUDE.md transport rules), and on the tunneled axon
+            # platform only the readback is an honest execution fence
+            wav, mel, mel_lengths = jax.device_get((wav, mel, mel_lengths))
             mel_frames = int(mel_lengths[0])
-            # force the host readback before stamping: on the tunneled axon
-            # platform block_until_ready returns before device execution
-            # completes (CLAUDE.md), so only np.asarray is an honest fence
-            wav = np.asarray(wav)
             t2 = t3 = time.perf_counter()
         else:
             out = self._mel_fn(key)(
                 self.params_tts, self.noise, x, x_lengths, lang_ids, tone,
                 word_pos, syllable_pos, spk, jnp.asarray(pf), jnp.asarray(ph),
-                jnp.asarray(plen), length_scale=length_scale,
+                jnp.asarray(plen), length_scale=jnp.float32(length_scale),
             )
             mel = out.mel
             mel_frames = int(out.mel_lengths[0])
@@ -395,14 +401,21 @@ class Synthesizer:
             chunk_frames=chunk_frames, length_scale=length_scale,
         )
         p_len = 0 if prompt_feat is None else prompt_feat.shape[0]
+        # BUCKET the prompt length: the chunk graph's segment is
+        # prompt_frames + OVERLAP + chunk, so keying on the raw p_len would
+        # recompile the 10-step CFM + vocoder graph (minutes on this
+        # platform) for every distinct cloning prompt and leak one
+        # synthesizer per length. stream() right-aligns shorter prompts in
+        # the bucket and masks the unused prefix.
+        p_cap = bkt.pick_bucket(p_len, bkt.PROMPT_BUCKETS[1:]) if p_len else 0
         # cache the streaming synthesizer: a fresh instance per call would
         # re-create its jit wrapper and re-trace the fused chunk graph
         # every utterance (measured seconds per call)
-        skey = ("stream_ss", chunk_frames, p_len, n_timesteps)
+        skey = ("stream_ss", chunk_frames, p_cap, n_timesteps)
         if skey not in self._mel_fns:
             self._mel_fns[skey] = StreamingSynthesizer(
                 self.cfg, self.params_tts, self.params_hift,
-                chunk_frames=chunk_frames, prompt_frames=p_len,
+                chunk_frames=chunk_frames, prompt_frames=p_cap,
                 n_timesteps=n_timesteps,
             )
         ss = self._mel_fns[skey]
@@ -567,6 +580,10 @@ class Synthesizer:
         from jyutvoice_tpu.pipeline import buckets as bkt
 
         b_real = len(items)
+        if b_real == 0:
+            # a dynamic-batching window can close empty; give it an empty
+            # result instead of an IndexError from the padding-row logic
+            return lambda: []
         b_pad = 1 << max(b_real - 1, 0).bit_length()  # next power of two
         items = list(items) + [items[0]] * (b_pad - b_real)
         b = len(items)
@@ -621,11 +638,22 @@ class Synthesizer:
             pf = np.zeros((b, 0, 80), np.float32)
             ph = np.zeros((b, 0, 80), np.float32)
 
+        if t_prompt + t_mel > self.noise.shape[1]:
+            # same capacity rule as the single-item path: past this,
+            # cfm_forward's noise slice comes up short and the failure is an
+            # opaque broadcast error deep in the trace
+            raise ValueError(
+                f"prompt ({t_prompt}) + mel ({t_mel}) frames exceed the "
+                f"{self.noise.shape[1]}-frame deterministic noise buffer "
+                "(300 s cap, reference flow_matching.py:354); synthesize "
+                "long items via synthesize_streaming/synthesize_long instead"
+            )
+
         out = self._mel_fn((t_text, t_mel, t_prompt, n_timesteps))(
             self.params_tts, self.noise, jf["x"], jnp.asarray(x_lengths),
             jf["lang"], jf["tone"], jf["word_pos"], jf["syllable_pos"],
             jnp.asarray(spk), jnp.asarray(pf), jnp.asarray(ph),
-            jnp.asarray(p_lens), length_scale=length_scale,
+            jnp.asarray(p_lens), length_scale=jnp.float32(length_scale),
         )
         wav = self._voc_fn(t_mel, pcm16)(self.params_hift, out.mel)
 

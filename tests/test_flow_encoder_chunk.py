@@ -174,6 +174,31 @@ def test_streaming_token_encoder_capacity_guard(params):
     assert out.shape[0] == c * CFG.upsample_stride
 
 
+def test_streaming_token_encoder_finalized_guard(params):
+    """After a partial-chunk flush() the KV write offset is no longer
+    chunk-aligned and the conv caches hold end-of-stream padding: further
+    encoding must raise (it would silently corrupt the cache), and reset()
+    must clear the condition."""
+    import numpy as np
+    import pytest
+
+    from jyutvoice_tpu.pipeline.streaming import StreamingTokenEncoder
+
+    enc = StreamingTokenEncoder(
+        params, CFG, t_max_tokens=4 * CFG.static_chunk_size
+    )
+    c = enc.chunk
+    rng = np.random.default_rng(1)
+    enc.push(rng.integers(0, 10, c + 5))
+    enc.flush()  # encodes a 5-token partial chunk -> stream finalized
+    enc.push(rng.integers(0, 10, c))  # buffers only; under chunk+pre
+    with pytest.raises(ValueError, match="finalized"):
+        enc.push(rng.integers(0, 10, c + CFG.pre_lookahead_len))
+    enc.reset()
+    out = enc.push(rng.integers(0, 10, c + CFG.pre_lookahead_len))
+    assert out.shape[0] == c * CFG.upsample_stride
+
+
 def test_exact_pad_bucket_invariance(params):
     """exact_pad=True: zero-padded bucketed run == exact-length run on the
     valid prefix (enables per-bucket jit in PromptExtractor); and at exact

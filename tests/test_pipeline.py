@@ -154,6 +154,41 @@ def test_synthesize_batch(synth):
         assert r.mel.shape == (r.mel_frames, 80)
 
 
+def test_synthesize_batch_empty(synth):
+    """A dynamic-batching window can close empty — must return [], not
+    IndexError from the padding-row logic."""
+    assert synth.synthesize_batch([]) == []
+
+
+def test_synthesize_batch_noise_capacity_guard(synth):
+    """Prompt + mel past the deterministic noise buffer must fail with the
+    explicit ValueError (same rule as the single-item path), not an opaque
+    broadcast error from inside the trace."""
+    small = Synthesizer(TINY, synth.params_tts, synth.params_hift)
+    small.noise = small.noise[:, :192]  # shrink the buffer for the test
+    items = [{
+        "text": "佢", "lang": "yue", "phone": "keoi5",
+        "prompt_feat": np.zeros((80, 80), np.float32),
+        "prompt_h": np.zeros((80, 80), np.float32),
+    }]
+    with pytest.raises(ValueError, match="noise buffer"):
+        small.synthesize_batch(items, n_timesteps=2)
+
+
+def test_length_scale_is_traced_not_static(synth):
+    """Distinct per-call length_scale values must reuse ONE compiled graph
+    (a static argname here cost a full recompile of the largest graph per
+    value) while still changing the duration."""
+    kw = dict(lang="yue", phone="keoi5 hai6 bin1 go3", n_timesteps=2)
+    r1 = synth.synthesize("佢 係邊 個", length_scale=1.0, **kw)
+    key = next(k for k in synth._mel_fns if k[0] == "fused")
+    fn = synth._mel_fns[key]
+    n0 = fn._cache_size()
+    r2 = synth.synthesize("佢 係邊 個", length_scale=1.5, **kw)
+    assert fn._cache_size() == n0, "length_scale change recompiled the graph"
+    assert r2.mel_frames > r1.mel_frames
+
+
 def test_serving_aot_and_export(tmp_path):
     """AOT compile + StableHLO export/reload produce identical outputs."""
     import jax.numpy as jnp
@@ -242,7 +277,7 @@ def test_infer_cli_stream_smoke(tmp_path):
         [
             "--text", "佢 係邊 個", "--lang", "yue",
             "--phone", "keoi5 hai6 bin1 go3",
-            "--output", out, "--stream", "--chunk-frames", "20",
+            "--output", out, "--stream", "--chunk-frames", "50",
         ],
         cfg=TINY,
     )

@@ -104,12 +104,65 @@ def test_pipeline_synthesize_streaming_with_prompt(setup):
     )
     wav1 = np.concatenate(list(synth.synthesize_streaming("佢 係邊 個", **kw)))
     assert np.isfinite(wav1).all() and len(wav1) % 480 == 0
-    key = ("stream_ss", 50, p, 10)
+    # prompt lengths are BUCKETED (one compiled chunk graph per bucket, not
+    # per distinct cloning-prompt length): p=24 -> bucket 64
+    from jyutvoice_tpu.pipeline import buckets as bkt
+
+    key = ("stream_ss", 50, bkt.pick_bucket(p, bkt.PROMPT_BUCKETS[1:]), 10)
     assert key in synth._mel_fns
     ss = synth._mel_fns[key]
     wav2 = np.concatenate(list(synth.synthesize_streaming("佢 係邊 個", **kw)))
     assert synth._mel_fns[key] is ss  # reused, not re-created
     np.testing.assert_array_equal(wav1, wav2)
+
+
+def test_stream_chunk_must_exceed_overlap(setup):
+    """chunk_frames <= OVERLAP would silently disable the crossfade for the
+    whole stream (every chunk takes the emit-everything branch) — the
+    constructor must refuse."""
+    params, params_hift = setup
+    with pytest.raises(ValueError, match="overlap"):
+        StreamingSynthesizer(TINY, params, params_hift, chunk_frames=OVERLAP)
+
+
+def test_stream_prompt_bucket_matches_exact(setup):
+    """A prompt shorter than the bucket (right-aligned, prefix masked)
+    must produce the same audio as an exact-length prompt graph: the
+    estimator zero-masks every conv input, so the masked prefix is
+    equivalent to the tight layout's implicit left padding."""
+    params, params_hift = setup
+    rng = np.random.default_rng(7)
+    mu_y = rng.standard_normal((60, 80)).astype(np.float32)
+    spk = rng.standard_normal(80).astype(np.float32)
+    p_valid = 32
+    prompt_feat = rng.standard_normal((p_valid, 80)).astype(np.float32)
+    prompt_h = rng.standard_normal((p_valid, 80)).astype(np.float32)
+
+    exact = StreamingSynthesizer(
+        TINY, params, params_hift, chunk_frames=50, prompt_frames=p_valid
+    )
+    bucketed = StreamingSynthesizer(
+        TINY, params, params_hift, chunk_frames=50, prompt_frames=64
+    )
+    a = np.concatenate(list(exact.stream(mu_y, spk, prompt_feat, prompt_h)))
+    b = np.concatenate(list(bucketed.stream(mu_y, spk, prompt_feat, prompt_h)))
+    assert a.shape == b.shape
+    # not bit-identical (different segment shapes reduce in different
+    # orders) but numerically the same decode
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+
+def test_multistream_rejects_empty_session(setup):
+    """A 0-frame session would never be dispatched nor delivered, leaking
+    the slot and spinning run_all forever — open() must refuse."""
+    from jyutvoice_tpu.pipeline.streaming import MultiStreamSynthesizer
+
+    params, params_hift = setup
+    ms = MultiStreamSynthesizer(
+        TINY, params, params_hift, max_sessions=2, chunk_frames=50
+    )
+    with pytest.raises(ValueError, match="empty"):
+        ms.open(np.zeros((0, 80), np.float32), np.zeros(80, np.float32))
 
 
 def test_stream_content_matches_nonstreamed(setup):
