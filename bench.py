@@ -22,7 +22,9 @@ import time
 import numpy as np
 
 HEADLINE_BUCKET = 512
-CURVE_BUCKETS = (128, 256, 512, 1024)
+# 2048 = 41 s one-pass long-form decode: exercises the T>=1536 bf16-score
+# gate (round 3; estimator.use_compact_scores) in the official curve
+CURVE_BUCKETS = (128, 256, 512, 1024, 2048)
 
 
 def _enable_compile_cache():
