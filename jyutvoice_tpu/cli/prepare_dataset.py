@@ -66,6 +66,10 @@ def main(argv=None):
                         help="shard dirs to concatenate instead of preparing")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if args.merge is not None and not args.merge:
+        parser.error("--merge requires at least one shard directory")
+    if args.merge is None and args.input is None:
+        parser.error("--input is required (or use --merge SHARD...)")
 
     import datasets
 

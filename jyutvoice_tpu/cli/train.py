@@ -39,32 +39,49 @@ def _log_val_sample(cfg, state, dm, tb, step, mesh):
     t_text = bkt.pick_bucket(n, bkt.TEXT_BUCKETS)
     t_mel = bkt.pick_bucket(int(vbatch["y_lengths"][i]) + 64, bkt.MEL_BUCKETS)
     dev0 = jax.devices()[0]
-    params = jax.device_put(
-        jax.tree.map(np.asarray, state.params), dev0
-    )
+    # device_put gathers replicated/sharded params onto dev0 directly —
+    # the former tree_map(np.asarray, ...) bounced every leaf through the
+    # host (~28 ms tunnel RTT per leaf) then re-uploaded the whole model
+    params = jax.device_put(state.params, dev0)
+
+    # ONE cached jitted graph (identity-keyed; jit retraces per bucket but
+    # never per call) — the former raw synthesize_mel call dispatched
+    # op-by-op over the tunnel every epoch
+    fn = getattr(_log_val_sample, "_fn", None)
+    if fn is None:
+
+        def _sample(params, cfg_tts, x, n, lang, tone, wp, sp, spk, noise,
+                    t_mel):
+            zero = jnp.zeros((1, 0, 80), jnp.float32)
+            return synthesize_mel(
+                params, cfg_tts, x, n, lang, tone, wp, sp, spk,
+                zero, zero, jnp.zeros((1,), jnp.int32),
+                t_mel_max=t_mel, n_timesteps=10, rand_noise=noise,
+            )
+
+        fn = jax.jit(_sample, static_argnames=("cfg_tts", "t_mel"))
+        _log_val_sample._fn = fn
 
     def cut(key):
         a = np.zeros((1, t_text), np.int32)
         a[0, :n] = np.asarray(vbatch[key])[i, :n]
         return jnp.asarray(a)
 
-    out = synthesize_mel(
+    out = fn(
         params, cfg.tts, cut("x"), jnp.asarray([n], jnp.int32), cut("lang"),
         cut("tone"), cut("word_pos"), cut("syllable_pos"),
         jnp.asarray(np.asarray(vbatch["spk_embed"])[i : i + 1]),
-        jnp.zeros((1, 0, 80), jnp.float32), jnp.zeros((1, 0, 80), jnp.float32),
-        jnp.zeros((1,), jnp.int32),
-        t_mel_max=t_mel, n_timesteps=10,
-        rand_noise=jnp.asarray(rand_noise(t_mel)),
+        jnp.asarray(rand_noise(t_mel)), t_mel,
     )
-    frames = int(out.mel_lengths[0])
-    tb.mel_image("val/generated_mel", np.asarray(out.mel)[0, :frames], step)
-    tb.mel_image(
-        "val/encoder_mel", np.asarray(out.encoder_mel)[0, :frames], step
+    mel, enc_mel, attn, lens = jax.device_get(
+        (out.mel, out.encoder_mel, out.attn, out.mel_lengths)
     )
+    frames = int(lens[0])
+    tb.mel_image("val/generated_mel", mel[0, :frames], step)
+    tb.mel_image("val/encoder_mel", enc_mel[0, :frames], step)
     gt = np.asarray(vbatch["y"])[i, : int(vbatch["y_lengths"][i])]
     tb.mel_image("val/ground_truth_mel", gt, step)
-    tb.attn_image("val/alignment", np.asarray(out.attn)[0, :n, :frames], step)
+    tb.attn_image("val/alignment", attn[0, :n, :frames], step)
 
 
 def _validation_pass(cfg, tr, state, dm, mesh, n_dev, rep):
@@ -82,22 +99,25 @@ def _validation_pass(cfg, tr, state, dm, mesh, n_dev, rep):
     val_metrics = []
     for vbatch in dm.valid_batches():
         b = vbatch["x"].shape[0]
-        if b % n_dev != 0:
-            padb = (n_dev - b % n_dev) % n_dev
-            vbatch = {
-                k: np.concatenate([v] + [v[:1]] * padb, axis=0)
-                for k, v in vbatch.items()
-            }
-        vbatch = shard_batch(
-            {k: jnp.asarray(v) for k, v in vbatch.items()}, mesh
-        )
+        vbatch = {k: jnp.asarray(v) for k, v in vbatch.items()}
+        if b % n_dev == 0:
+            vbatch = shard_batch(vbatch, mesh)
+        else:
+            # indivisible final batch: evaluate REPLICATED (exact) instead
+            # of padding with duplicated rows — duplicate rows would enter
+            # the loss average and bias val_loss (and the top-k checkpoint
+            # ranking that keys off it)
+            vbatch = {k: jax.device_put(v, rep) for k, v in vbatch.items()}
         # eval mode: dropout off, like the reference's model.eval()
         _, m = jit_loss(state.params, cfg.tts, tr, key, vbatch, False)
-        val_metrics.append({k: float(v) for k, v in m.items()})
+        val_metrics.append((b, {k: float(v) for k, v in m.items()}))
     if not val_metrics:
         return None
+    total = sum(b for b, _ in val_metrics)
+    # row-weighted mean: batches contribute by how many utterances they hold
     return {
-        k: float(np.mean([m[k] for m in val_metrics])) for k in val_metrics[0]
+        k: float(sum(b * m[k] for b, m in val_metrics) / total)
+        for k in val_metrics[0][1]
     }
 
 

@@ -276,7 +276,12 @@ class _Handler(BaseHTTPRequestHandler):
             )
             return
         try:
-            handle = srv.tts_lane.submit(**kwargs)
+            # the batch engine applies the server-level length_scale
+            # internally; the lane takes it per-submit — forward it so
+            # /tts and /tts/stream speak at the same rate
+            handle = srv.tts_lane.submit(
+                length_scale=srv.tts_length_scale, **kwargs
+            )
             chunks = iter(handle)
             first = next(chunks)  # surface prepare errors before headers go out
         except ValueError as e:
@@ -358,6 +363,7 @@ class TTSServer:
         self._httpd.tts_engine = self.engine
         self._httpd.tts_lane = self.lane
         self._httpd.tts_sample_rate = synthesizer.cfg.audio.sample_rate
+        self._httpd.tts_length_scale = length_scale
         self._httpd.tts_request_timeout = request_timeout
         self._httpd.tts_verbose = verbose
         self._httpd.tts_prompt_extractor = prompt_extractor

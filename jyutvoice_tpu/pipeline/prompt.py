@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 from typing import Optional
 
 import numpy as np
@@ -237,6 +238,11 @@ class PromptExtractor:
         self.streaming_encoder = streaming_encoder
         self.streaming_t_max = streaming_t_max
         self._stream_encoder = None
+        # the streaming encoder is STATEFUL (KV cache + reset/push/flush):
+        # concurrent extractions (http server threads extract different
+        # voices in parallel outside the cache lock) must serialize, or
+        # interleaved resets corrupt prompt_h that is then CACHED per voice
+        self._stream_lock = threading.Lock()
         self._fe_fn = None
 
     def __call__(self, audio: np.ndarray, sr: int) -> PromptFeatures:
@@ -250,22 +256,24 @@ class PromptExtractor:
         prompt_h = None
         if tokens is not None and self.flow_encoder_params is not None:
             if self.streaming_encoder:
-                if self._stream_encoder is None:
-                    from jyutvoice_tpu.pipeline.streaming import (
-                        StreamingTokenEncoder,
-                    )
+                with self._stream_lock:
+                    if self._stream_encoder is None:
+                        from jyutvoice_tpu.pipeline.streaming import (
+                            StreamingTokenEncoder,
+                        )
 
-                    # cached: a fresh encoder per call would re-create its
-                    # jit wrapper and re-trace the chunk graph every prompt
-                    self._stream_encoder = StreamingTokenEncoder(
-                        self.flow_encoder_params, self.flow_encoder_cfg,
-                        t_max_tokens=self.streaming_t_max,
+                        # cached: a fresh encoder per call would re-create
+                        # its jit wrapper and re-trace the chunk graph every
+                        # prompt
+                        self._stream_encoder = StreamingTokenEncoder(
+                            self.flow_encoder_params, self.flow_encoder_cfg,
+                            t_max_tokens=self.streaming_t_max,
+                        )
+                    enc = self._stream_encoder
+                    enc.reset()
+                    prompt_h = np.concatenate(
+                        [enc.push(tokens), enc.flush()], axis=0
                     )
-                enc = self._stream_encoder
-                enc.reset()
-                prompt_h = np.concatenate(
-                    [enc.push(tokens), enc.flush()], axis=0
-                )
             else:
                 if self._fe_fn is None:
                     import jax

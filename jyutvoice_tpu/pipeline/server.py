@@ -26,6 +26,7 @@ import dataclasses
 import queue
 import threading
 import time
+from concurrent import futures
 from concurrent.futures import Future
 from typing import List, Optional
 
@@ -150,7 +151,10 @@ class ServingEngine:
             except queue.Empty:
                 break
             if req is not None and not req.future.done():
-                req.future.set_exception(RuntimeError("engine is closed"))
+                self._resolve(
+                    req.future, req.future.set_exception,
+                    RuntimeError("engine is closed"),
+                )
 
     def __enter__(self):
         return self
@@ -181,24 +185,47 @@ class ServingEngine:
             group.append(req)
         return group
 
+    @staticmethod
+    def _resolve(future, set_fn, value) -> None:
+        """Resolve a future, tolerating a concurrent cancel(): the
+        cancelled() check and set_result/set_exception are not atomic, and
+        an InvalidStateError here would kill the worker thread and hang the
+        engine forever."""
+        if future.cancelled():
+            return
+        try:
+            set_fn(value)
+        except futures.InvalidStateError:
+            pass  # cancelled (or already resolved) in the check-act window
+
     def _fail(self, group: List[_Request], e: Exception) -> None:
         for req in group:
-            if not req.future.cancelled():
-                req.future.set_exception(e)
+            self._resolve(req.future, req.future.set_exception, e)
         self.stats.errors += len(group)
 
     def _validate(self, group: List[_Request]) -> List[_Request]:
-        """Run the text frontend per request; fail only the bad ones.
+        """Run the text frontend + per-item limit checks per request; fail
+        only the bad ones.
 
-        Without this, one malformed request (unknown lang, bad phone string)
-        raising inside the batched dispatch would fail every co-batched
-        future. The prep is cached on the item so synthesize_batch_dispatch
-        does not redo it.
+        Without this, one malformed request (unknown lang, bad phone
+        string, over-long cloning prompt) raising inside the batched
+        dispatch would fail every co-batched future. The prep is cached on
+        the item so synthesize_batch_dispatch does not redo it.
         """
+        from jyutvoice_tpu.pipeline import buckets as bkt
+
         ok = []
         for req in group:
             try:
                 it = req.item
+                pf = it.get("prompt_feat")
+                if pf is not None and len(pf) > bkt.PROMPT_BUCKETS[-1]:
+                    raise ValueError(
+                        f"cloning prompt is {len(pf)} mel frames; the "
+                        f"largest prompt bucket is {bkt.PROMPT_BUCKETS[-1]} "
+                        f"(~{bkt.PROMPT_BUCKETS[-1] // 50} s) — trim the "
+                        "reference audio"
+                    )
                 it["_prepped"] = self.synth.prepare_text(
                     it["text"], it.get("lang", "yue"), it.get("phone")
                 )
@@ -206,6 +233,15 @@ class ServingEngine:
             except Exception as e:  # noqa: BLE001 — per-request isolation
                 self._fail([req], e)
         return ok
+
+    @staticmethod
+    def _dispatch_attempts(sub: List[_Request]):
+        """First the whole subgroup, then (if the noise-cap retry asked for
+        it via `continue`) the subgroup minus prompt-bearing items."""
+        yield sub
+        rest = [r for r in sub if r.item.get("prompt_feat") is None]
+        if rest and len(rest) < len(sub):
+            yield rest
 
     def _finalize(self, group: List[_Request], finalize) -> None:
         try:
@@ -219,8 +255,7 @@ class ServingEngine:
         for req, res in zip(group, results):
             self.stats.requests += 1
             self.stats.total_latency_s += t_end - req.t_submit
-            if not req.future.cancelled():
-                req.future.set_result(res)
+            self._resolve(req.future, req.future.set_result, res)
 
     def _run(self) -> None:
         # double-buffered: group N is dispatched to the device before group
@@ -258,19 +293,36 @@ class ServingEngine:
             )
             finals, ok_group = [], []
             for sub in subgroups:
-                try:
-                    finals.append(
-                        self.synth.synthesize_batch_dispatch(
-                            [r.item for r in sub],
-                            n_timesteps=self.n_timesteps,
-                            length_scale=self.length_scale,
-                            return_mel=self.return_mel,
-                            pcm16=self.pcm16,
+                for attempt_sub in self._dispatch_attempts(sub):
+                    try:
+                        finals.append(
+                            self.synth.synthesize_batch_dispatch(
+                                [r.item for r in attempt_sub],
+                                n_timesteps=self.n_timesteps,
+                                length_scale=self.length_scale,
+                                return_mel=self.return_mel,
+                                pcm16=self.pcm16,
+                            )
                         )
-                    )
-                    ok_group.extend(sub)
-                except Exception as e:  # noqa: BLE001
-                    self._fail(sub, e)
+                        ok_group.extend(attempt_sub)
+                        break
+                    except ValueError as e:
+                        # prompt bucket + mel bucket past the noise buffer is
+                        # a GROUP property (mel bucket = the longest item):
+                        # fail only the prompt-bearing culprits and retry the
+                        # rest, instead of failing innocent co-batched items
+                        culprits = [
+                            r for r in attempt_sub
+                            if r.item.get("prompt_feat") is not None
+                        ]
+                        if "noise buffer" in str(e) and culprits:
+                            self._fail(culprits, e)
+                            continue  # next attempt: sub minus culprits
+                        self._fail(attempt_sub, e)
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        self._fail(attempt_sub, e)
+                        break
             if finals:
 
                 def finalize(fins=tuple(finals)):
@@ -331,6 +383,7 @@ class StreamingLane:
         self.synth = synthesizer
         self.chunk_frames = chunk_frames
         self.n_timesteps = n_timesteps
+        self._hop = synthesizer.cfg.audio.hop_length  # samples per mel frame
         self._ms = MultiStreamSynthesizer(
             synthesizer.cfg, synthesizer.params_tts, synthesizer.params_hift,
             max_sessions=max_streams, chunk_frames=chunk_frames,
@@ -406,7 +459,7 @@ class StreamingLane:
                     length_scale=req["length_scale"],
                 )
                 sid = self._ms.open(mu_y, c)
-                self._handles[sid] = (handle, y_len * 480)
+                self._handles[sid] = (handle, y_len * self._hop)
             except Exception as e:  # noqa: BLE001 — per-request isolation
                 handle._q.put(e)
             block = False  # only block while completely idle

@@ -42,14 +42,18 @@ _SYLLABLE_RE = re.compile(r"^([a-zA-Z]+)([0-9])$")
 
 
 def split_pinyin_syllable(syllable: str) -> Tuple[str, str]:
-    """Split 'hao3' -> ('h', 'ao3'); returns ('', syllable) for non-pinyin.
+    """Split 'hao3' -> ('h', 'ao3'); returns (syllable, syllable) for
+    non-pinyin.
 
-    Mirrors reference text/mandarin/g2p.py:23-29: anything not matching
-    letters+digit is passed through as ('', syllable) (punctuation).
+    Anything not matching letters+digit passes through with initial ==
+    final, mirroring pypinyin's behavior on non-hanzi (and
+    readings.split_pinyin_loose): pinyin_to_phonemes' punctuation branch
+    keys on `initial == final`, so punctuation gets syllable_pos=0
+    consistently across raw-text and explicit-pinyin input modes.
     """
     m = _SYLLABLE_RE.match(syllable)
     if m is None:
-        return "", syllable
+        return syllable, syllable
     body, tone = m.group(1).lower(), m.group(2)
 
     if body in _WHOLE_SYLLABLE:

@@ -283,9 +283,16 @@ def provision(
                         "remains available at inference time", e)
 
     if tokenizer_torch:
-        from jyutvoice_tpu.weights.s3_convert import s3_from_torch
+        from jyutvoice_tpu.weights.s3_convert import s3_from_flat
 
-        s3 = s3_from_torch(tokenizer_torch)
+        # name-indexed conversion runs under the same strict audit as the
+        # tts/hift/flow converters — a tokenizer checkpoint from a different
+        # revision (renamed/extra tensors) aborts instead of converting
+        # silently wrong. (campplus ONNX binds structurally, not by name —
+        # it is validated by the parity tests against real torch.onnx
+        # exports instead, tests/test_campplus.py.)
+        sd = tc.load_torch_state_dict(tokenizer_torch)
+        s3 = _audited(s3_from_flat, sd)
         path = os.path.join(out_dir, "s3_tokenizer.npz")
         save_pytree_npz(path, s3)
         written["s3_tokenizer"] = path

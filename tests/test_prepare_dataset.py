@@ -68,3 +68,14 @@ def test_prepare_dataset_shard_and_merge(tmp_path):
     main(["--output", merged, "--merge", *shards])
     ds = datasets.load_from_disk(merged)
     assert len(ds) == 4
+
+
+def test_prepare_dataset_missing_input_is_usage_error(tmp_path):
+    """No --input and no --merge must be an argparse usage error (SystemExit),
+    not a TypeError from os.path.isdir(None) after the heavy imports."""
+    from jyutvoice_tpu.cli.prepare_dataset import main
+
+    with pytest.raises(SystemExit):
+        main(["--output", str(tmp_path / "out")])
+    with pytest.raises(SystemExit):
+        main(["--output", str(tmp_path / "out"), "--merge"])

@@ -64,6 +64,39 @@ def test_engine_error_propagates(synth):
         engine.submit("after close", lang="yue", phone="aa1")
 
 
+def test_engine_overlong_prompt_fails_only_that_request(synth):
+    """An over-long cloning prompt must fail its own request at validation
+    time, not poison co-batched requests (or reach the dispatch where the
+    ValueError would fail the whole subgroup)."""
+    with ServingEngine(
+        synth, max_batch=4, max_wait_ms=200.0, n_timesteps=2
+    ) as engine:
+        bad = engine.submit(
+            "佢", lang="yue", phone="keoi5",
+            prompt_feat=np.zeros((600, 80), np.float32),
+            prompt_h=np.zeros((600, 80), np.float32),
+        )
+        good = engine.submit("你好", lang="yue", phone="nei5 hou2")
+        with pytest.raises(ValueError, match="prompt"):
+            bad.result(timeout=600)
+        assert good.result(timeout=600).mel_frames > 0
+
+
+def test_engine_survives_cancelled_future(synth):
+    """A concurrently-cancelled future must not kill the worker thread
+    (set_result on a cancelled future raises InvalidStateError): later
+    requests still resolve."""
+    with ServingEngine(
+        synth, max_batch=2, max_wait_ms=5.0, n_timesteps=2
+    ) as engine:
+        fut = engine.submit("佢", lang="yue", phone="keoi5")
+        fut.cancel()  # may race the worker; engine must survive either way
+        res = engine.submit("你好", lang="yue", phone="nei5 hou2").result(
+            timeout=600
+        )
+        assert res.mel_frames > 0
+
+
 def test_streaming_lane(synth):
     """N concurrent streams share one dispatch per tick; each stream's
     concatenated wav matches the direct synthesize_streaming output."""
