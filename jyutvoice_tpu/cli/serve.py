@@ -53,6 +53,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--max-streams", type=int, default=4)
     ap.add_argument("--chunk-frames", type=int, default=100)
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="pre-compile the serving graphs before traffic: the common "
+        "interactive envelope (text <=128 tokens, mel <=1024 frames) at "
+        "every power-of-two batch size up to --max-batch, plus the "
+        "streaming chunk graph when --streaming. A cold process pays "
+        "minutes per graph on its first unlucky request otherwise; with "
+        "the persistent compilation cache, later restarts warm in seconds",
+    )
+    ap.add_argument(
+        "--warmup-text",
+        help="comma-separated text buckets to warm (default: 32,64,96,128)",
+    )
+    ap.add_argument(
+        "--warmup-mel",
+        help="comma-separated mel buckets to warm (default: 128..1024)",
+    )
     ap.add_argument("--verbose", action="store_true")
     return ap
 
@@ -101,6 +119,29 @@ def main(argv=None) -> None:
         )
 
     synth = Synthesizer(cfg, params, params_hift)
+    if args.warmup:
+        import time
+
+        cap = max(1, min(args.max_batch, 8))  # engine splits past 8
+        sizes = [1]
+        while sizes[-1] < cap:
+            sizes.append(sizes[-1] * 2)
+        t0 = time.perf_counter()
+
+        def _buckets(spec):
+            return tuple(int(v) for v in spec.split(",")) if spec else None
+
+        n = synth.warmup(
+            text_buckets=_buckets(args.warmup_text),
+            mel_buckets=_buckets(args.warmup_mel),
+            n_timesteps=(args.n_timesteps,),
+            batch_sizes=sizes,
+            pcm16=True,  # the engine serves PCM16 (http_server.py)
+            log_fn=lambda m: log.info("%s", m),
+        )
+        log.info(
+            "warmup: %d batch graphs in %.1f s", n, time.perf_counter() - t0
+        )
     server = TTSServer(
         synth,
         host=args.host,
@@ -119,6 +160,19 @@ def main(argv=None) -> None:
         "serving on http://%s:%d (device: %s, streaming: %s)",
         server.host, server.port, jax.devices()[0], args.streaming,
     )
+    if args.warmup and args.streaming:
+        # drain one dummy utterance through the lane to compile the fused
+        # chunk-step graph (the public surface exercises the whole path:
+        # prepare_stream + vmapped multi-stream tick)
+        import time
+
+        t0 = time.perf_counter()
+        for _ in server.lane.submit("佢", lang="yue", phone="keoi5"):
+            pass
+        log.info(
+            "warmup: streaming chunk graph in %.1f s",
+            time.perf_counter() - t0,
+        )
     # block until SIGTERM/SIGINT, then drain cleanly (in-flight requests
     # finish; new submits are rejected) — the serving twin of the training
     # CLI's preemption handling

@@ -169,6 +169,78 @@ class Synthesizer:
             self._mel_fns[fkey] = f
         return self._mel_fns[fkey]
 
+    def warmup(
+        self,
+        text_buckets=None,
+        mel_buckets=None,
+        prompt_buckets=(0,),
+        n_timesteps=(10,),
+        batch_sizes=(1,),
+        pcm16: bool = False,
+        log_fn=None,
+    ) -> int:
+        """Pre-compile the bucketed serving graphs before traffic arrives.
+
+        Every (text, mel, prompt, steps, batch) shape is its own XLA
+        compile — minutes each on a cold process (first-conv autotune), so
+        a fresh deployment otherwise pays that on its first unlucky
+        request. Driving each combination once here moves the cost to
+        startup and populates the persistent compilation cache, after
+        which warmup itself is seconds. batch_sizes follows the serving
+        engine's power-of-two padding (synthesize_batch_dispatch): warm
+        (1, 2, 4, 8) to cover max_batch=8. batch 1 warms the fused
+        single-dispatch graph the direct synthesize() path uses; larger
+        batches warm the engine's mel+vocoder pair.
+
+        Defaults cover the common interactive envelope (short sentences,
+        no cloning prompt): text <= 128 tokens, mel <= 1024 frames (~20 s).
+        Returns the number of graphs driven.
+        """
+        tb = tuple(text_buckets) if text_buckets else bkt.TEXT_BUCKETS[:4]
+        mb = tuple(mel_buckets) if mel_buckets else bkt.MEL_BUCKETS[:6]
+        count = 0
+        wav = None
+        for b in sorted({int(v) for v in batch_sizes}):
+            spk = jnp.zeros((b, self.cfg.tts.spk_embed_dim), self.dtype)
+            ones = jnp.ones((b,), jnp.int32)
+            for t_text in tb:
+                x = jnp.zeros((b, t_text), jnp.int32)
+                self._dur_fn(t_text)(
+                    self.params_tts, x, ones, x, x, x, x, spk
+                )
+                count += 1
+                for t_mel in mb:
+                    for t_prompt in prompt_buckets:
+                        pf = jnp.zeros((b, t_prompt, 80), jnp.float32)
+                        plen = jnp.zeros((b,), jnp.int32)
+                        for steps in n_timesteps:
+                            key = (t_text, t_mel, t_prompt, int(steps))
+                            if log_fn:
+                                log_fn(f"warmup b={b} {key}")
+                            if b == 1:
+                                wav, _, _ = self._fused_fn(key)(
+                                    self.params_tts, self.params_hift,
+                                    self.noise, x, ones, x, x, x, x, spk,
+                                    pf, pf, plen,
+                                    length_scale=jnp.float32(1.0),
+                                )
+                            else:
+                                out = self._mel_fn(key)(
+                                    self.params_tts, self.noise, x, ones,
+                                    x, x, x, x, spk, pf, pf, plen,
+                                    length_scale=jnp.float32(1.0),
+                                )
+                                wav = self._voc_fn(t_mel, pcm16)(
+                                    self.params_hift, out.mel
+                                )
+                            count += 1
+        if wav is not None:
+            # one honest fence (readback; block_until_ready lies over the
+            # tunneled platform) so warmup returns only once the device has
+            # actually executed the last graph
+            np.asarray(wav)
+        return count
+
     # ---------------- host API ----------------
 
     def prepare_text(self, text: str, lang: str, phone: Optional[str] = None):

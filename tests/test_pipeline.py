@@ -344,3 +344,21 @@ def test_prompt_extractor_flow_encoder_bucketed():
     np.testing.assert_allclose(
         feats.prompt_h[:t], ref[:t], rtol=1e-5, atol=1e-5
     )
+
+
+def test_warmup_compiles_bucketed_graphs(synth):
+    """warmup() drives the dur/fused graph at batch 1 and the mel+vocoder
+    pair at engine batch sizes, caching them under the keys the serving
+    paths will look up."""
+    n = synth.warmup(
+        text_buckets=(32,), mel_buckets=(128,), n_timesteps=(2,),
+        batch_sizes=(1, 2), pcm16=True,
+    )
+    assert n == 4  # per batch size: 1 dur graph + 1 shape combo
+    assert ("fused", 32, 128, 0, 2) in synth._mel_fns  # direct path (b=1)
+    assert (32, 128, 0, 2) in synth._mel_fns  # engine mel graph (b=2)
+    assert (128, True) in synth._voc_fns  # engine PCM16 vocoder
+    assert 32 in synth._dur_fns
+    # a warmed shape synthesizes fine afterwards (cache entries are live)
+    res = synth.synthesize("佢", lang="yue", phone="keoi5", n_timesteps=2)
+    assert res.mel_frames > 0
