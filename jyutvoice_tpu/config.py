@@ -85,10 +85,16 @@ class EstimatorConfig:
     act_fn: str = "gelu"
     static_chunk_size: int = 50  # mel frames per streaming chunk (25 tokens * 2)
     num_decoding_left_chunks: int = -1
-    # "pallas" uses the fused flash-attention kernel (nn/pallas/attention.py)
-    # when T is block-aligned; "xla" lets the compiler fuse the bias path.
-    # Measured on v5e: XLA wins or ties at synthesis shapes; pallas wins for
-    # long chunked (streaming) sequences (scripts/bench_attention.py).
+    # "xla" lets the compiler fuse the bias path, auto-switching to the
+    # stock jax TPU flash kernel for long-form full attention (T >= 2048,
+    # models/estimator.py::use_stock_flash — 1.60-1.75x end-to-end on the
+    # 10-step solve, scripts/profile_stockflash_solve.py); "xla_scores"
+    # forces the score-materializing path (REQUIRED inside GSPMD-sharded
+    # graphs — dist/sp.py sets it — where a pallas custom call cannot be
+    # sharded); "pallas" uses the in-repo kernel (nn/pallas/attention.py)
+    # when T is block-aligned. Measured on v5e: XLA wins or ties at
+    # synthesis shapes; the in-repo kernel wins only as an isolated op on
+    # long chunked sequences (scripts/bench_attention.py).
     attention_backend: str = "xla"
     # "matmul" expresses the k=3 causal convs as shifted matmuls: identical
     # math, but avoids XLA conv<->matmul layout boundaries that break fusion

@@ -87,8 +87,21 @@ def sp_cfm_solve(
     Place the params once with
     `jax.device_put(params, sp_param_shardings(params, mesh))` and reuse.
     """
+    import dataclasses
+
     from jyutvoice_tpu.models.cfm import solve_euler_cfg, cosine_t_span
 
+    # force the score-materializing attention path: the long-form stock
+    # flash gate (models/estimator.py::use_stock_flash) would otherwise
+    # fire on the GLOBAL trace shape and plant a pallas_call inside this
+    # GSPMD-sharded graph, where XLA cannot shard a custom call and would
+    # gather the full sequence onto every chip — defeating SP
+    cfm_cfg = dataclasses.replace(
+        cfm_cfg,
+        estimator=dataclasses.replace(
+            cfm_cfg.estimator, attention_backend="xla_scores"
+        ),
+    )
     n_seq = mesh.shape[SEQ_AXIS]
     seq = seq_sharding(mesh)
     rep = NamedSharding(mesh, P())

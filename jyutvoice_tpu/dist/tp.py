@@ -1,5 +1,12 @@
 """Tensor-parallel sharding for the CFM estimator (serving latency scaling).
 
+NOTE: graphs jitted over these shardings should force
+`attention_backend="xla_scores"` at T >= 4096 — the long-form stock-flash
+gate (models/estimator.py::use_stock_flash) would otherwise plant an
+unshardable pallas custom call inside the GSPMD program (dist/sp.py does
+this for the sequence-parallel solver).
+
+
 The reference has no TP (SURVEY.md §2.8) — single-GPU synthesis is its unit
 of work. On TPU, multi-chip latency scaling is nearly free with GSPMD:
 annotate the estimator's attention/FFN weights Megatron-style over a

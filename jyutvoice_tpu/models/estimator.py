@@ -137,9 +137,59 @@ def use_compact_scores(batch2: int, t: int) -> bool:
     return batch2 * t >= 8192 or t >= 1536
 
 
+def use_stock_flash(t: int, chunk: int) -> bool:
+    """Long-form flash gate: the stock jax TPU flash kernel (3-D grid,
+    pipelined DMA — unlike nn/pallas/attention.py's full-K/V-in-VMEM form,
+    which loses 2.5-4.5x here) beats the bf16-score XLA path once the
+    quadratic score tensor dominates. Measured end-to-end on the full
+    10-step solve (scripts/profile_stockflash_solve.py, v5e): 1.60x at
+    T=2048, 1.65x at 3072-4096, 1.71-1.75x at 8192-12288 (mel MAE vs the
+    bf16-score path ~1.5e-3, inside the 1e-2 parity budget); the scores
+    path still wins below (0.72x at T=1024, 0.78x at 1536 — the sub-ms op
+    is launch-overhead-bound there). Full attention only (the streaming
+    chunk rule stays on the measured paths), T a multiple of the 512
+    block (every MEL_BUCKET >= 2048 except the 15000-frame cap)."""
+    return chunk == 0 and t >= 2048 and t % 512 == 0
+
+
 def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
     """Dispatch attention backend: fused Pallas flash kernel (no (T,T) bias
     materialization) or the XLA SDPA path."""
+    if ctx["backend"] == "flash_stock":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            SegmentIds,
+        )
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as stock_flash,
+        )
+
+        from jyutvoice_tpu.nn.quant import maybe_linear
+
+        b, t, _ = x.shape
+        q = attention.split_heads(maybe_linear(p["q"], x), n_heads)
+        k = attention.split_heads(maybe_linear(p["k"], x), n_heads)
+        v = attention.split_heads(maybe_linear(p["v"], x), n_heads)
+        d = q.shape[-1]
+        # key-padding via segment ids: valid rows are segment 1, padding 0;
+        # equality masking keeps valid queries off padded keys, and padded
+        # queries attend among themselves (no empty-softmax NaN; their
+        # outputs are mask-multiplied away downstream)
+        seg = (
+            jnp.arange(t, dtype=jnp.int32)[None, :] < ctx["lengths"][:, None]
+        ).astype(jnp.int32)
+        blk = 512
+        bs = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_q_dkv=blk, block_k_dkv=blk,
+            block_q_dq=blk, block_k_dq=blk, block_k_major_dq=blk,
+        )
+        out = stock_flash(
+            q, k, v, segment_ids=SegmentIds(q=seg, kv=seg),
+            causal=False, sm_scale=1.0 / math.sqrt(d), block_sizes=bs,
+        )
+        return maybe_linear(p["o"], attention.merge_heads(out))
     if ctx["backend"] == "pallas":
         from jyutvoice_tpu.nn.pallas.attention import flash_attention
 
@@ -256,7 +306,16 @@ def apply_estimator(
         and seq % 128 == 0
         and jax.default_backend() == "tpu"
     )
-    if use_pallas:
+    if (
+        cfg.attention_backend == "xla"
+        and jax.default_backend() == "tpu"
+        and use_stock_flash(seq, chunk)
+    ):
+        attn_ctx = {
+            "backend": "flash_stock",
+            "lengths": jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32),
+        }
+    elif use_pallas:
         lengths = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)
         attn_ctx = {
             "backend": "pallas",

@@ -235,14 +235,15 @@ class StreamingSynthesizer:
         cfm_cfg = cfg.cfm
         if p > 0:
             # prompt buckets can be partially filled (p_start > 0 masks the
-            # unused prefix). The pallas attention path encodes validity as a
-            # per-row LENGTH (suffix semantics, estimator.py use_pallas) and
-            # would mis-mask a front-padded segment; the XLA path builds the
-            # bias from the arbitrary mask pattern, so force it here.
+            # unused prefix). Both flash paths (in-repo pallas AND the
+            # long-form stock-flash gate that fires on plain "xla") encode
+            # validity as a per-row LENGTH (suffix semantics) and would
+            # mis-mask a front-padded segment; "xla_scores" builds the bias
+            # from the arbitrary mask pattern, so force it here.
             cfm_cfg = dataclasses.replace(
                 cfm_cfg,
                 estimator=dataclasses.replace(
-                    cfm_cfg.estimator, attention_backend="xla"
+                    cfm_cfg.estimator, attention_backend="xla_scores"
                 ),
             )
 
