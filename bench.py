@@ -98,7 +98,20 @@ def main():
     )
 
     def bucket_runner(t_mel: int):
-        noise = jnp.asarray(rand_noise(t_prompt + t_mel))
+        # mirror the production pipeline's prompt padding: long-form
+        # buckets promote the prompt pad to 512 so prompt+mel totals are
+        # 512-aligned and the stock-flash attention gate fires
+        # (pipeline/buckets.py::pick_prompt_bucket, net 1.24-1.42x)
+        from jyutvoice_tpu.pipeline.buckets import pick_prompt_bucket
+
+        t_prompt_pad = pick_prompt_bucket(t_prompt, t_mel)
+        args = list(base_args)
+        if t_prompt_pad != t_prompt:
+            pad = ((0, 0), (0, t_prompt_pad - t_prompt), (0, 0))
+            args[7] = jnp.asarray(np.pad(np.asarray(args[7]), pad))
+            args[8] = jnp.asarray(np.pad(np.asarray(args[8]), pad))
+        args = tuple(args)
+        noise = jnp.asarray(rand_noise(t_prompt_pad + t_mel))
 
         @jax.jit
         def mel_fn(params, x, x_lengths, lang, tone, word_pos, syllable_pos,
@@ -118,7 +131,7 @@ def main():
             return wav
 
         def run_once():
-            return voc_fn(params_hift, mel_fn(params, *base_args))
+            return voc_fn(params_hift, mel_fn(params, *args))
 
         return run_once
 

@@ -148,8 +148,22 @@ def use_stock_flash(t: int, chunk: int) -> bool:
     path still wins below (0.72x at T=1024, 0.78x at 1536 — the sub-ms op
     is launch-overhead-bound there). Full attention only (the streaming
     chunk rule stays on the measured paths), T a multiple of the 512
-    block (every MEL_BUCKET >= 2048 except the 15000-frame cap)."""
-    return chunk == 0 and t >= 2048 and t % 512 == 0
+    block — smaller blocks LOSE outright (blk128: 0.29-0.35x, blk256:
+    0.92x, scripts/profile_stockflash_blocks.py), so non-512-aligned T
+    stays on bf16 scores and the serving layer instead 512-aligns its
+    totals (pipeline/buckets.py::pick_prompt_bucket, synthesize_long)."""
+    return chunk == 0 and t >= 2048 and _flash_block(t) > 0
+
+
+def _flash_block(t: int) -> int:
+    """Stock-flash block size for sequence length t: 512 or 0 (ineligible).
+    Measured (scripts/profile_stockflash_blocks.py, full 10-step solve):
+    block 128 runs 0.29-0.35x of the bf16-score path and block 256 0.92x
+    — the 3-D grid's per-block overhead swamps the win — while block 512
+    gives the 1.60-1.75x speedups. So only 512-aligned sequences are
+    flash-eligible; prompted serving totals are 512-aligned upstream by
+    promoting the prompt bucket to 512 at t_mel >= 2048."""
+    return 512 if t % 512 == 0 else 0
 
 
 def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
@@ -178,7 +192,7 @@ def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
         seg = (
             jnp.arange(t, dtype=jnp.int32)[None, :] < ctx["lengths"][:, None]
         ).astype(jnp.int32)
-        blk = 512
+        blk = _flash_block(t)
         bs = BlockSizes(
             block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
             block_q_major_dkv=blk, block_k_major_dkv=blk,

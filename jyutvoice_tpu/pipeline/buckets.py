@@ -21,3 +21,19 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
         if n <= b:
             return b
     raise ValueError(f"length {n} exceeds the largest bucket {buckets[-1]}")
+
+
+def pick_prompt_bucket(p_len: int, t_mel: int) -> int:
+    """Prompt bucket, flash-aware: long-form decodes (t_mel >= 2048) hit
+    the stock-flash attention gate only when the estimator total
+    (t_prompt + t_mel) is 512-aligned (models/estimator.py::_flash_block —
+    smaller flash blocks measured 0.29-0.92x, so only the 512 block is
+    used). Every long mel bucket (2048..12288) is a 512-multiple, so
+    promote the prompt bucket to 512 there: the <=448 extra rows cost
+    ~(total'/total)^2 in attention but flash pays ~1.6x back — measured
+    net 1.27x at mel2048+prompt256, 1.16x at +prompt128, ~1.4x at
+    mel4096 (scripts/profile_stockflash_blocks.py)."""
+    t = pick_bucket(p_len, PROMPT_BUCKETS[1:])
+    if t_mel >= 2048 and (t_mel + t) % 512:
+        t = PROMPT_BUCKETS[-1]
+    return t

@@ -296,7 +296,7 @@ class Synthesizer:
         # prompt padding
         if prompt_feat is not None and prompt_h is not None:
             p_len = prompt_feat.shape[0]
-            t_prompt = bkt.pick_bucket(p_len, bkt.PROMPT_BUCKETS[1:])
+            t_prompt = bkt.pick_prompt_bucket(p_len, t_mel)
             pf = np.zeros((1, t_prompt, 80), np.float32)
             ph = np.zeros((1, t_prompt, 80), np.float32)
             pf[0, :p_len] = prompt_feat
@@ -537,10 +537,24 @@ class Synthesizer:
             text, lang=lang, phone=phone, spk_embed=spk_embed,
             chunk_frames=granule, length_scale=length_scale,
         )
-        want = int(np.ceil(y_len / granule)) * granule
+        # single-device long decodes hit the stock-flash attention gate
+        # (models/estimator.py::use_stock_flash, 1.6-1.75x) only at
+        # 512-aligned totals (smaller flash blocks measured 0.29-0.92x),
+        # so 512-align the long-form shape table; the sharded path forces
+        # bf16 scores (dist/sp.py) and keeps the finer mesh-divisible
+        # granule
+        want = int(np.ceil(max(y_len, 1) / granule)) * granule
+        if n_seq == 1 and want > 1536:
+            want = int(np.ceil(want / 512)) * 512
         if want <= bkt.MEL_BUCKETS[-1]:
             t_mel = bkt.pick_bucket(want, bkt.MEL_BUCKETS)
             if t_mel % n_seq:
+                t_mel = want
+            elif n_seq == 1 and t_mel % 512 and t_mel >= 2048:
+                # the 15000-frame cap is the only non-512-aligned long
+                # bucket: use the 512-rounded want instead (flash-eligible,
+                # <= 6 shapes in the 12288-15360 window; extended noise
+                # covers past 15000)
                 t_mel = want
         else:
             t_mel = want
@@ -698,7 +712,7 @@ class Synthesizer:
             np.int32,
         )
         if p_lens.max() > 0:
-            t_prompt = bkt.pick_bucket(int(p_lens.max()), bkt.PROMPT_BUCKETS[1:])
+            t_prompt = bkt.pick_prompt_bucket(int(p_lens.max()), t_mel)
             pf = np.zeros((b, t_prompt, 80), np.float32)
             ph = np.zeros((b, t_prompt, 80), np.float32)
             for i, it in enumerate(items):

@@ -21,8 +21,18 @@ def test_use_stock_flash_gate():
     assert not E.use_stock_flash(1536, 0)
     # streaming chunk rule stays on the measured paths -> off
     assert not E.use_stock_flash(4096, 50)
-    # not a multiple of the 512 block (15000-frame cap bucket) -> off
+    # not 512-aligned -> off: smaller flash blocks measured 0.29-0.92x
+    # (scripts/profile_stockflash_blocks.py), so these stay on bf16 scores
+    # (the serving layer 512-aligns its totals instead)
     assert not E.use_stock_flash(15000, 0)
+    assert not E.use_stock_flash(2112, 0)
+    assert not E.use_stock_flash(2176, 0)
+    assert not E.use_stock_flash(2304, 0)
+    # 512-aligned prompted serving totals -> on
+    assert E.use_stock_flash(2560, 0) and E._flash_block(2560) == 512
+    assert E._flash_block(4096) == 512
+    assert E._flash_block(15000) == 0
+    assert E._flash_block(2176) == 0
 
 
 def test_sp_solver_forces_scores_backend(monkeypatch):

@@ -37,6 +37,27 @@ def test_pick_bucket():
         pick_bucket(15001, MEL_BUCKETS)
 
 
+def test_pick_prompt_bucket_flash_alignment():
+    from jyutvoice_tpu.pipeline.buckets import pick_prompt_bucket
+
+    # short mel: plain bucket table, 64 allowed
+    assert pick_prompt_bucket(50, 512) == 64
+    assert pick_prompt_bucket(200, 512) == 256
+    # long-form mel: any smaller bucket leaves prompt+mel not 512-aligned
+    # (stock-flash ineligible; smaller blocks measured 0.29-0.92x) ->
+    # promoted to the 512 bucket
+    assert pick_prompt_bucket(50, 2048) == 512
+    assert pick_prompt_bucket(129, 2048) == 512
+    assert pick_prompt_bucket(512, 4096) == 512
+    # resulting totals are flash-eligible at every long mel bucket
+    from jyutvoice_tpu.models.estimator import use_stock_flash
+
+    for t_mel in (2048, 3072, 4096, 6144, 8192, 12288):
+        for p_len in (1, 64, 65, 128, 300, 512):
+            total = t_mel + pick_prompt_bucket(p_len, t_mel)
+            assert use_stock_flash(total, 0), (t_mel, p_len, total)
+
+
 @pytest.fixture(scope="module")
 def synth():
     params = init_tts(jax.random.PRNGKey(0), TINY.tts)
