@@ -90,9 +90,25 @@ def export_stablehlo(
     cfg: JyutVoiceConfig, params_tts, params_hift, path: str, *,
     t_text: int, t_mel: int, t_prompt: int = 0, n_timesteps: int = 10,
 ) -> None:
-    """Serialize the bucket graph (weights baked in) to a StableHLO artifact."""
+    """Serialize the bucket graph (weights baked in) to a StableHLO artifact.
+
+    Forces the score-materializing attention path: the long-form
+    stock-flash gate (models/estimator.py::use_stock_flash) would embed a
+    TPU-only pallas custom call in the serialized module, which a foreign
+    runtime (or another backend) cannot execute — exported artifacts must
+    be pure StableHLO. aot_compile keeps the gate (same-device use).
+    """
+    import dataclasses
+
     from jax import export as jexport
 
+    if cfg.tts.cfm.estimator.attention_backend == "xla":
+        est = dataclasses.replace(
+            cfg.tts.cfm.estimator, attention_backend="xla_scores"
+        )
+        cfm = dataclasses.replace(cfg.tts.cfm, estimator=est)
+        tts = dataclasses.replace(cfg.tts, cfm=cfm)
+        cfg = dataclasses.replace(cfg, tts=tts)
     fn = build_serving_fn(
         cfg, params_tts, params_hift,
         t_text=t_text, t_mel=t_mel, t_prompt=t_prompt, n_timesteps=n_timesteps,

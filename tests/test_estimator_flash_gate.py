@@ -78,6 +78,34 @@ def test_sp_solver_forces_scores_backend(monkeypatch):
     assert seen["backend"] == "xla_scores"
 
 
+def test_stablehlo_export_forces_scores_backend(monkeypatch, tmp_path):
+    """export_stablehlo must trace with attention_backend='xla_scores':
+    the flash gate would embed a TPU-only pallas custom call in the
+    serialized module, which foreign runtimes cannot execute."""
+    import jyutvoice_tpu.models.cfm as cfm_mod
+    from jyutvoice_tpu.models.hift import init_hift
+    from jyutvoice_tpu.models.tts import init_tts
+    from jyutvoice_tpu.pipeline import serving
+    from tests.test_pipeline import TINY
+
+    seen = {}
+    orig = cfm_mod.cfm_forward
+
+    def spy(params, cfm_cfg, *a, **k):
+        seen["backend"] = cfm_cfg.estimator.attention_backend
+        return orig(params, cfm_cfg, *a, **k)
+
+    monkeypatch.setattr("jyutvoice_tpu.models.tts.cfm_mod.cfm_forward", spy)
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_h = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    assert TINY.tts.cfm.estimator.attention_backend == "xla"
+    serving.export_stablehlo(
+        TINY, params, params_h, str(tmp_path / "g.shlo"),
+        t_text=16, t_mel=32, n_timesteps=1,
+    )
+    assert seen["backend"] == "xla_scores"
+
+
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="stock flash kernel is TPU-only"
 )
