@@ -76,6 +76,7 @@ def sp_cfm_solve(
     *,
     n_timesteps: int,
     streaming: bool = False,
+    attention: str = "scores",
 ):
     """Build a jitted sequence-parallel `cfm_forward` for `mesh`.
 
@@ -86,20 +87,39 @@ def sp_cfm_solve(
     "seq" size (bucket tables already guarantee power-of-two frame counts).
     Place the params once with
     `jax.device_put(params, sp_param_shardings(params, mesh))` and reuse.
+
+    attention="scores" (default): GSPMD shards the dense score path on the
+    query axis — per-chip score memory (2B, H, T/n, T), K/V all-gathered.
+    attention="ring": shard_map ring attention (dist/ring.py) — K/V blocks
+    rotate over ICI with ppermute, per-chip score tile (2B, H, T/n, T/n),
+    enabling ~n-fold longer one-pass decodes before the memory wall.
+    Requires a 1-D ("seq",) mesh (ring inside a TP-sharded estimator would
+    need the qkv projections to run under the same shard_map; not built).
     """
     import dataclasses
 
     from jyutvoice_tpu.models.cfm import solve_euler_cfg, cosine_t_span
 
-    # force the score-materializing attention path: the long-form stock
-    # flash gate (models/estimator.py::use_stock_flash) would otherwise
-    # fire on the GLOBAL trace shape and plant a pallas_call inside this
-    # GSPMD-sharded graph, where XLA cannot shard a custom call and would
-    # gather the full sequence onto every chip — defeating SP
+    if attention == "ring":
+        if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
+            raise ValueError("ring attention composes with 1-D seq meshes "
+                             "only (no model axis)")
+        from jyutvoice_tpu.dist.ring import set_ring_context
+
+        set_ring_context(mesh, SEQ_AXIS)
+        backend = "ring"
+    else:
+        # force the score-materializing attention path: the long-form
+        # stock flash gate (models/estimator.py::use_stock_flash) would
+        # otherwise fire on the GLOBAL trace shape and plant a pallas_call
+        # inside this GSPMD-sharded graph, where XLA cannot shard a custom
+        # call and would gather the full sequence onto every chip —
+        # defeating SP
+        backend = "xla_scores"
     cfm_cfg = dataclasses.replace(
         cfm_cfg,
         estimator=dataclasses.replace(
-            cfm_cfg.estimator, attention_backend="xla_scores"
+            cfm_cfg.estimator, attention_backend=backend
         ),
     )
     n_seq = mesh.shape[SEQ_AXIS]

@@ -169,6 +169,19 @@ def _flash_block(t: int) -> int:
 def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
     """Dispatch attention backend: fused Pallas flash kernel (no (T,T) bias
     materialization) or the XLA SDPA path."""
+    if ctx["backend"] == "ring":
+        from jyutvoice_tpu.dist.ring import ring_attention
+        from jyutvoice_tpu.nn.quant import maybe_linear
+
+        q = attention.split_heads(maybe_linear(p["q"], x), n_heads)
+        k = attention.split_heads(maybe_linear(p["k"], x), n_heads)
+        v = attention.split_heads(maybe_linear(p["v"], x), n_heads)
+        d = q.shape[-1]
+        out = ring_attention(
+            q, k, v, ctx["kv_valid"], ctx["mesh"], ctx["axis"],
+            scale=1.0 / math.sqrt(d),
+        )
+        return maybe_linear(p["o"], attention.merge_heads(out))
     if ctx["backend"] == "flash_stock":
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
@@ -320,7 +333,22 @@ def apply_estimator(
         and seq % 128 == 0
         and jax.default_backend() == "tpu"
     )
-    if (
+    if cfg.attention_backend == "ring":
+        # sequence-parallel ring attention (dist/ring.py): K/V blocks
+        # rotate over the mesh's seq axis, per-chip score tile is
+        # (Tl, Tl). Full attention only (chunked streaming never runs
+        # under the SP solver).
+        from jyutvoice_tpu.dist.ring import get_ring_context
+
+        assert chunk == 0, "ring attention supports full attention only"
+        ring_mesh, ring_axis = get_ring_context()
+        attn_ctx = {
+            "backend": "ring",
+            "kv_valid": mask[:, :, 0],
+            "mesh": ring_mesh,
+            "axis": ring_axis,
+        }
+    elif (
         cfg.attention_backend == "xla"
         and jax.default_backend() == "tpu"
         and use_stock_flash(seq, chunk)

@@ -508,6 +508,7 @@ class Synthesizer:
         mesh=None,
         n_timesteps: int = 10,
         length_scale: float = 1.0,
+        sp_attention: str = "scores",
     ) -> SynthesisResult:
         """One-pass long-form synthesis, optionally sequence-parallel.
 
@@ -521,6 +522,11 @@ class Synthesizer:
         speaker embedding only (prompt-frame cloning: use synthesize /
         synthesize_streaming). The vocoder is linear in T and stays
         single-device.
+
+        sp_attention (mesh only): "scores" = GSPMD dense path (per-chip
+        score memory (2B,H,T/n,T)); "ring" = ring attention
+        (dist/ring.py, per-chip tile (2B,H,T/n,T/n)) for decodes past even
+        the SP dense memory wall.
         """
         import jax.numpy as jnp
 
@@ -594,11 +600,11 @@ class Synthesizer:
                 sp_param_shardings,
             )
 
-            key = ("long_sp", id(mesh), n_timesteps)
+            key = ("long_sp", id(mesh), n_timesteps, sp_attention)
             if key not in self._mel_fns:
                 run = sp_cfm_solve(
                     self.params_tts["decoder"], self.cfg.tts.cfm, mesh,
-                    n_timesteps=n_timesteps,
+                    n_timesteps=n_timesteps, attention=sp_attention,
                 )
                 dec = jax.device_put(
                     self.params_tts["decoder"],

@@ -98,6 +98,71 @@ def test_sp_composes_with_tp(setup):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_sp_ring_matches_single_device(setup):
+    """Ring attention (K/V ppermute + online softmax, dist/ring.py) must
+    reproduce the dense single-device solve."""
+    params, (mu, mask, spks, cond), noise, ref = setup
+    mesh = make_sp_mesh(8)
+    dec = jax.device_put(
+        params["decoder"], sp_param_shardings(params["decoder"], mesh)
+    )
+    seq = seq_sharding(mesh)
+    run = sp_cfm_solve(
+        params["decoder"], TINY.tts.cfm, mesh, n_timesteps=2,
+        attention="ring",
+    )
+    out = run(
+        dec, jax.device_put(mu, seq), jax.device_put(mask, seq), spks,
+        jax.device_put(cond, seq), noise,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+    assert len(out.sharding.device_set) == 8
+
+
+def test_sp_ring_with_padding(setup):
+    """Key-validity must travel with the rotating K/V blocks: a padded
+    tail spanning several shards (41 valid of 64 over 8 shards) must
+    match the dense solve with the same mask on the valid rows."""
+    params, (mu, _, spks, cond), noise, _ = setup
+    valid = 41
+    mask = jnp.asarray(
+        (np.arange(64) < valid).astype(np.float32)[None, :, None]
+    )
+    ref = jax.jit(
+        lambda p, mu, mask, spks, cond: cfm_forward(
+            p, TINY.tts.cfm, mu, mask, spks, cond,
+            n_timesteps=2, rand_noise=noise,
+        )
+    )(params["decoder"], mu, mask, spks, cond)
+    mesh = make_sp_mesh(8)
+    dec = jax.device_put(
+        params["decoder"], sp_param_shardings(params["decoder"], mesh)
+    )
+    seq = seq_sharding(mesh)
+    run = sp_cfm_solve(
+        params["decoder"], TINY.tts.cfm, mesh, n_timesteps=2,
+        attention="ring",
+    )
+    out = run(
+        dec, jax.device_put(mu, seq), jax.device_put(mask, seq), spks,
+        jax.device_put(cond, seq), noise,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :valid], np.asarray(ref)[:, :valid],
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_sp_ring_rejects_model_axis(setup):
+    params, *_ = setup
+    mesh = make_sp_mesh(n_seq=4, n_model=2)
+    with pytest.raises(ValueError, match="1-D seq meshes"):
+        sp_cfm_solve(
+            params["decoder"], TINY.tts.cfm, mesh, n_timesteps=2,
+            attention="ring",
+        )
+
+
 def test_sp_rejects_indivisible_t(setup):
     params, (mu, mask, spks, cond), noise, _ = setup
     mesh = make_sp_mesh(8)
