@@ -36,8 +36,10 @@ _NEG = -1e30  # not -inf: an all-masked tile must not NaN the running max
 
 # Mesh/axis the estimator's "ring" attention backend should shard over.
 # Config dataclasses hold only primitives, so sp_cfm_solve registers the
-# live mesh here before tracing (one solver instance per mesh; the jitted
-# graph bakes the mesh in at trace time).
+# live mesh here. jax.jit traces lazily on the FIRST CALL, so the solver
+# re-binds its own mesh before every call (dist/sp.py::run) — building
+# several ring solvers before calling them cannot cross-wire meshes. The
+# jitted graph bakes the mesh in at trace time.
 _ACTIVE: dict = {}
 
 

@@ -104,11 +104,8 @@ def sp_cfm_solve(
         if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
             raise ValueError("ring attention composes with 1-D seq meshes "
                              "only (no model axis)")
-        from jyutvoice_tpu.dist.ring import set_ring_context
-
-        set_ring_context(mesh, SEQ_AXIS)
         backend = "ring"
-    else:
+    elif attention == "scores":
         # force the score-materializing attention path: the long-form
         # stock flash gate (models/estimator.py::use_stock_flash) would
         # otherwise fire on the GLOBAL trace shape and plant a pallas_call
@@ -116,6 +113,10 @@ def sp_cfm_solve(
         # call and would gather the full sequence onto every chip —
         # defeating SP
         backend = "xla_scores"
+    else:
+        raise ValueError(
+            f"unknown attention={attention!r}: expected 'scores' or 'ring'"
+        )
     cfm_cfg = dataclasses.replace(
         cfm_cfg,
         estimator=dataclasses.replace(
@@ -147,6 +148,14 @@ def sp_cfm_solve(
             raise ValueError(
                 f"T={mu.shape[1]} not divisible by seq mesh size {n_seq}"
             )
+        if backend == "ring":
+            # jax.jit traces lazily on FIRST CALL, and the estimator's
+            # ring branch reads the process-global ring context at trace
+            # time — re-bind OUR mesh here so building several ring
+            # solvers before calling them cannot cross-wire meshes
+            from jyutvoice_tpu.dist.ring import set_ring_context
+
+            set_ring_context(mesh, SEQ_AXIS)
         with mesh:
             return jitted(params_sharded, mu, mask, spks, cond, noise)
 

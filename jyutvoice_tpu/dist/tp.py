@@ -1,10 +1,11 @@
 """Tensor-parallel sharding for the CFM estimator (serving latency scaling).
 
-NOTE: graphs jitted over these shardings should force
-`attention_backend="xla_scores"` at T >= 4096 — the long-form stock-flash
-gate (models/estimator.py::use_stock_flash) would otherwise plant an
-unshardable pallas custom call inside the GSPMD program (dist/sp.py does
-this for the sequence-parallel solver).
+NOTE: graphs jitted over these shardings must force
+`attention_backend="xla_scores"` — use `tp_cfm_cfg(cfm_cfg)` below. The
+long-form stock-flash gate (models/estimator.py::use_stock_flash) would
+otherwise plant an unshardable pallas custom call inside the GSPMD
+program at T >= 2048 (dist/sp.py enforces the same for the
+sequence-parallel solver).
 
 
 The reference has no TP (SURVEY.md §2.8) — single-GPU synthesis is its unit
@@ -40,6 +41,24 @@ def make_tp_mesh(n_devices: int | None = None, axis_name: str = "model") -> Mesh
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
+
+
+def tp_cfm_cfg(cfm_cfg):
+    """CFM config safe to jit over TP shardings: forces the
+    score-materializing attention path so the long-form stock-flash gate
+    (models/estimator.py::use_stock_flash) cannot plant an unshardable
+    pallas custom call inside the GSPMD program — XLA would all-gather
+    the full sequence onto every chip at each attention block."""
+    import dataclasses
+
+    if cfm_cfg.estimator.attention_backend != "xla":
+        return cfm_cfg
+    return dataclasses.replace(
+        cfm_cfg,
+        estimator=dataclasses.replace(
+            cfm_cfg.estimator, attention_backend="xla_scores"
+        ),
+    )
 
 
 def _block_specs(axis: str) -> dict:

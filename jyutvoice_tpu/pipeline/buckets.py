@@ -34,6 +34,9 @@ def pick_prompt_bucket(p_len: int, t_mel: int) -> int:
     net 1.27x at mel2048+prompt256, 1.16x at +prompt128, ~1.4x at
     mel4096 (scripts/profile_stockflash_blocks.py)."""
     t = pick_bucket(p_len, PROMPT_BUCKETS[1:])
-    if t_mel >= 2048 and (t_mel + t) % 512:
+    # promote only when the promoted total is actually flash-eligible —
+    # at the non-512-aligned 15000 cap bucket the promotion would pay the
+    # pad without ever firing the gate
+    if t_mel >= 2048 and t_mel % 512 == 0 and (t_mel + t) % 512:
         t = PROMPT_BUCKETS[-1]
     return t

@@ -60,7 +60,7 @@ def main():
     for t_scores, t_flash, desc in cases:
         valid = t_scores - 37  # same audio content in both shapes
         audio_s = valid * hop / sr
-        outs, times = {}, {}
+        times = {}
         for backend, t_mel in (("xla_scores", t_scores), ("xla", t_flash)):
             mu_np = rng.standard_normal((1, t_scores, 80))
             mu = jnp.asarray(
@@ -83,7 +83,7 @@ def main():
 
             try:
                 out = solve(dec, mu, mask, spks, cond, noise)
-                outs[backend] = np.asarray(out)[:, :valid]
+                float(jnp.sum(out))  # warmup fence (no full readback)[:, :valid]
 
                 def timed(n):
                     t0 = time.perf_counter()

@@ -2,8 +2,11 @@
 
 Companion to profile_flash_stock_longform.py (isolated op): measures the
 production gate (models/estimator.py::use_stock_flash) end-to-end and the
-mel MAE it introduces vs the bf16-score path, plus a probe at T=2048/3072
-(below the default threshold) by widening the gate in-process.
+mel MAE it introduces vs the bf16-score path. The gate override below
+pins the measured envelope (full attention, 512-aligned, T >= 2048)
+independent of the shipped threshold, so re-runs after gate tweaks keep
+measuring the same sweep — results recorded in docs/design.md set the
+shipped T >= 2048 threshold (scores wins 0.72-0.78x at T=1024/1536).
 """
 import dataclasses
 import os

@@ -49,6 +49,9 @@ def test_pick_prompt_bucket_flash_alignment():
     assert pick_prompt_bucket(50, 2048) == 512
     assert pick_prompt_bucket(129, 2048) == 512
     assert pick_prompt_bucket(512, 4096) == 512
+    # the 15000 cap bucket is not 512-aligned: promotion can never make
+    # the total flash-eligible, so keep the tight bucket
+    assert pick_prompt_bucket(50, 15000) == 64
     # resulting totals are flash-eligible at every long mel bucket
     from jyutvoice_tpu.models.estimator import use_stock_flash
 

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tests.test_pipeline import TINY
-from jyutvoice_tpu.dist.tp import make_tp_mesh, tts_partition_tree
+from jyutvoice_tpu.dist.tp import make_tp_mesh, tp_cfm_cfg, tts_partition_tree
 from jyutvoice_tpu.models.cfm import cfm_forward
 from jyutvoice_tpu.models.tts import init_tts
 from jyutvoice_tpu.weights.noise import rand_noise
@@ -49,3 +49,13 @@ def test_tp_estimator_matches_single_device():
     # the weights really are distributed
     leaf = dec_sharded["mid"][0]["blocks"][0]["attn"]["q"]["w"]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_tp_cfm_cfg_forces_scores_backend():
+    """TP graphs must not contain the stock-flash pallas call: tp_cfm_cfg
+    rewrites 'xla' (gate-eligible) to 'xla_scores' and leaves explicit
+    backend choices alone."""
+    assert TINY.tts.cfm.estimator.attention_backend == "xla"
+    forced = tp_cfm_cfg(TINY.tts.cfm)
+    assert forced.estimator.attention_backend == "xla_scores"
+    assert tp_cfm_cfg(forced) is forced
