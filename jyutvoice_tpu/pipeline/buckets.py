@@ -9,7 +9,13 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
-TEXT_BUCKETS: Tuple[int, ...] = (32, 64, 96, 128, 192, 256, 384, 512)
+# interactive sentences live in the first 8 buckets; the long tail exists
+# so long-form one-pass decodes (synthesize_long, mel up to 15000+ frames
+# = 300 s) can encode their whole text in one dispatch — the RoPE text
+# encoder is length-agnostic and even 8192 tokens (~340 s of speech) is a
+# ~0.5 GB score tensor, far from the chip's limit
+TEXT_BUCKETS: Tuple[int, ...] = (32, 64, 96, 128, 192, 256, 384, 512,
+                                 1024, 2048, 4096, 8192)
 # mel frames: 50/s -> up to 300 s (the reference's fixed noise buffer cap)
 MEL_BUCKETS: Tuple[int, ...] = (128, 256, 384, 512, 768, 1024, 1536, 2048,
                                 3072, 4096, 6144, 8192, 12288, 15000)

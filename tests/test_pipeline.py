@@ -68,6 +68,23 @@ def synth():
     return Synthesizer(TINY, params, params_hift)
 
 
+def test_long_text_buckets(synth):
+    """Text past the interactive buckets (512 tokens ~ 25 s of speech)
+    must encode in one dispatch — the long TEXT_BUCKETS tail is what lets
+    synthesize_long cover the 15000-frame mel table (a 512-token cap
+    contradicted it; found driving ~240 s text end-to-end)."""
+    phone = "keoi5 hai6 bin1 go3 " * 40  # 160 syllables -> >512 tokens
+    text = "佢係邊個 " * 40
+    (x, *_), n, t_text = synth.prepare_text(
+        text.strip(), "yue", phone.strip()
+    )
+    assert n > 512 and t_text == 1024
+    res = synth.synthesize(
+        text.strip(), lang="yue", phone=phone.strip(), n_timesteps=1
+    )
+    assert np.isfinite(res.wav).all() and res.mel_frames > 0
+
+
 def test_synthesize_cantonese_with_phone(synth):
     res = synth.synthesize(
         "佢 係邊 個", lang="yue", phone="keoi5 hai6 bin1 go3", n_timesteps=2
