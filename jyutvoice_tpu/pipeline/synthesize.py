@@ -509,6 +509,7 @@ class Synthesizer:
         n_timesteps: int = 10,
         length_scale: float = 1.0,
         sp_attention: str = "scores",
+        pcm16: bool = False,
     ) -> SynthesisResult:
         """One-pass long-form synthesis, optionally sequence-parallel.
 
@@ -527,6 +528,11 @@ class Synthesizer:
         score memory (2B,H,T/n,T)); "ring" = ring attention
         (dist/ring.py, per-chip tile (2B,H,T/n,T/n)) for decodes past even
         the SP dense memory wall.
+
+        pcm16=True converts the wav to int16 ON DEVICE and dequantizes on
+        host: halves the dominant long-form readback bytes over a
+        tunnel-attached chip at 16-bit audio precision (wav files are
+        16-bit anyway).
         """
         import jax.numpy as jnp
 
@@ -624,8 +630,13 @@ class Synthesizer:
             mel = jax.device_put(mel, jax.devices()[0])  # gather for vocode
         t2 = time.perf_counter()
 
-        wav = self._voc_fn(t_mel)(self.params_hift, mel)
-        wav_np = np.asarray(wav)
+        wav = self._voc_fn(t_mel, pcm16)(self.params_hift, mel)
+        # ONE combined host fetch: long-form readback is transport-bound
+        # (~23 MB f32 wav at ~15 MB/s tunnel for 240 s audio); pcm16=True
+        # halves the wav bytes via the on-device int16 conversion
+        wav_np, mel_np = jax.device_get((wav, mel))
+        if pcm16:
+            wav_np = wav_np.astype(np.float32) / 32767.0
         t3 = time.perf_counter()
 
         num_samples = y_len * self.cfg.audio.hop_length
@@ -633,7 +644,7 @@ class Synthesizer:
         elapsed = t3 - t0
         return SynthesisResult(
             wav=wav_np[0, :num_samples],
-            mel=np.asarray(mel)[0, :y_len],
+            mel=mel_np[0, :y_len],
             mel_frames=y_len,
             rtf=elapsed / max(audio_seconds, 1e-9),
             timings={

@@ -201,6 +201,20 @@ def test_synthesize_long_pipeline_matches_plain_and_sp():
     assert corr > 0.9999, corr
 
 
+def test_synthesize_long_pcm16_matches_f32():
+    from jyutvoice_tpu.models.hift import init_hift
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    synth = Synthesizer(TINY, params, params_hift)
+    kw = dict(lang="yue", phone="keoi5 hai6 bin1 go3", n_timesteps=1)
+    f32 = synth.synthesize_long("佢 係邊 個", **kw)
+    q = synth.synthesize_long("佢 係邊 個", pcm16=True, **kw)
+    assert q.wav.dtype == np.float32
+    np.testing.assert_allclose(q.wav, f32.wav, atol=1.0 / 32767)
+
+
 def test_long_frame_granule_divisible_by_any_mesh():
     from jyutvoice_tpu.pipeline.synthesize import long_frame_granule
 
