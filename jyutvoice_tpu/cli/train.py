@@ -240,6 +240,13 @@ def main(argv=None):
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
     log.info("mesh: %d device(s): %s", n_dev, mesh)
+    if n_dev > 1:
+        # batch-sharded GSPMD graphs must not contain the stock-flash
+        # pallas call (train/step.py::gspmd_safe_tts_cfg); single-device
+        # training keeps the measured flash win at long mel buckets
+        from jyutvoice_tpu.train.step import gspmd_safe_tts_cfg
+
+        cfg = dataclasses.replace(cfg, tts=gspmd_safe_tts_cfg(cfg.tts))
 
     if args.validate_only:
         with mesh:

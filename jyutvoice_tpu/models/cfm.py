@@ -144,17 +144,15 @@ def cfm_loss(
         spks = spks * keep[:, None]
         cond = cond * keep[:, None, None]
 
-    # train on the score-materializing path even where the long-form
-    # stock-flash gate would fire (T >= 2048 buckets): the flash kernel's
-    # backward is unmeasured here and training buckets are short in
-    # practice — inference keeps the measured 1.6-1.75x flash win
-    est_cfg = cfg.estimator
-    if est_cfg.attention_backend == "xla":
-        import dataclasses as _dc
-
-        est_cfg = _dc.replace(est_cfg, attention_backend="xla_scores")
+    # the long-form stock-flash gate applies in training too: the stock
+    # kernel's custom VJP compiles and the full grad step measures
+    # 1.23x/1.09x/1.08x at b=2/4/8 T=2048 and 1.36x at b=2 T=4096 vs the
+    # bf16-score path (never losing; /tmp recipe in
+    # scripts/profile_stockflash_solve.py style, recorded docs/design.md).
+    # Training masks are contiguous-prefix (fix_len_compatibility pads at
+    # the end), so the flash suffix-length semantics hold.
     pred = est.apply_estimator(
-        params, est_cfg, y, mask, mu, t[:, 0, 0], spks, cond, streaming
+        params, cfg.estimator, y, mask, mu, t[:, 0, 0], spks, cond, streaming
     )
     num = jnp.sum(jnp.square((pred - u) * mask))
     den = jnp.sum(mask) * u.shape[-1]

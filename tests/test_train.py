@@ -353,3 +353,16 @@ def test_preemption_stop_saves_resumable_checkpoint(tmp_path):
     assert step == 1  # stopped at the first boundary, checkpoint written
     restored = ckpt.restore(str(tmp_path), step)
     assert restored["step"] == 1
+
+
+def test_gspmd_safe_tts_cfg():
+    """Multi-device DP steps must not trace the stock-flash pallas call:
+    the helper rewrites 'xla' to 'xla_scores' and is a no-op otherwise."""
+    from jyutvoice_tpu.config import JyutVoiceConfig
+    from jyutvoice_tpu.train.step import gspmd_safe_tts_cfg
+
+    tts = JyutVoiceConfig().tts
+    assert tts.cfm.estimator.attention_backend == "xla"
+    safe = gspmd_safe_tts_cfg(tts)
+    assert safe.cfm.estimator.attention_backend == "xla_scores"
+    assert gspmd_safe_tts_cfg(safe) is safe
