@@ -457,6 +457,78 @@ def hift_decode(p, cfg: HiFTConfig, mel: Array, source: Array) -> Array:
     return jnp.clip(wav, -cfg.audio_limit, cfg.audio_limit)
 
 
+def hift_vocode_auto(
+    p, cfg: HiFTConfig, mel: Array, *, deterministic: bool = True
+) -> Tuple[Array, Array]:
+    """Vocode dispatch by trace shape: batch-1 long-form mels (T >= 4096)
+    take the windowed path (1.12x at T=4096, 1.70x at T=12288 on v5e —
+    the plain decode's per-frame cost degrades super-linearly there),
+    everything else the plain decode."""
+    if mel.shape[0] == 1 and mel.shape[1] >= 4096:
+        return hift_inference_windowed(p, cfg, mel, deterministic=deterministic)
+    return hift_inference(p, cfg, mel, deterministic=deterministic)
+
+
+def hift_inference_windowed(
+    p,
+    cfg: HiFTConfig,
+    mel: Array,
+    *,
+    window: int = 2048,
+    halo: int = 32,
+    rng: Optional[Array] = None,
+    deterministic: bool = True,
+) -> Tuple[Array, Array]:
+    """Long-form vocoding as a BATCH of overlapping windows (B=1 only).
+
+    The decode conv stack's per-frame cost degrades super-linearly with T
+    (22.4 us/frame at T=512 -> 51.0 at T=12288, docs/design.md): at
+    waveform scale the per-level activations stream from HBM instead of
+    staying cache-resident. Windowing restores the short-T rate: f0 + NSF
+    source are computed GLOBALLY (exact, <3 ms even at T=12288), then
+    `hift_decode` runs once over a (N, window+2*halo, 80) batch of
+    overlapping mel slices and the interiors are concatenated.
+
+    Interior-exactness: every conv in the decode is translation-
+    equivariant, and the one position-dependent op — the reflect-pad dup
+    row at the last upsample — shifts each window's stream by one
+    level-3 row exactly as it shifts the full decode's, so the shifts
+    cancel; a halo covering the total conv receptive field (~14 mel
+    frames one-sided; default 32) makes kept samples match the full
+    decode to fp tolerance (tests/test_hift_parity.py). Window 0 starts
+    at mel row 0 and the last window ends at row T, so the global edges
+    (reflect-pad STFT framing, OLA envelope onset) are bit-true too.
+    """
+    b, t, _ = mel.shape
+    assert b == 1, "windowed vocoding expects batch 1 (long-form path)"
+    wh = window + 2 * halo
+    if t <= wh:
+        return hift_inference(p, cfg, mel, rng=rng, deterministic=deterministic)
+
+    up = cfg.total_upsample
+    f0 = apply_f0_predictor(p["f0_predictor"], mel)
+    f0_up = jnp.repeat(f0, up, axis=1)
+    s = sine_source(p["m_source"], f0_up, cfg, rng, deterministic)
+
+    n_win = max(1, -(-t // window))  # ceil
+    # window w keeps mel rows [w*window, (w+1)*window); the last window is
+    # right-aligned so its slice stays in-range (its keep range shrinks)
+    offs = []
+    for w in range(n_win):
+        a = w * window
+        o = min(max(a - halo, 0), t - wh)
+        offs.append(o)
+    mel_w = jnp.stack([mel[0, o : o + wh] for o in offs])  # (N, wh, 80)
+    src_w = jnp.stack([s[0, o * up : (o + wh) * up] for o in offs])
+    wavs = hift_decode(p, cfg, mel_w, src_w)  # (N, wh*up)
+    parts = []
+    for w, o in enumerate(offs):
+        a = w * window
+        end = min(a + window, t)
+        parts.append(wavs[w, (a - o) * up : (end - o) * up])
+    return jnp.concatenate(parts)[None, :], s
+
+
 def hift_inference(
     p,
     cfg: HiFTConfig,

@@ -65,7 +65,7 @@ def build_serving_fn(
             t_mel_max=t_mel, n_timesteps=n_timesteps, rand_noise=noise,
             length_scale=length_scale,
         )
-        wav, _ = hift_mod.hift_inference(
+        wav, _ = hift_mod.hift_vocode_auto(
             params_hift, cfg.hift, out.mel, deterministic=True
         )
         return wav, out.mel, out.mel_lengths

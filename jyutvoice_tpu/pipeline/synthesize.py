@@ -125,7 +125,8 @@ class Synthesizer:
 
             @jax.jit
             def f(params, mel):
-                wav, _ = hift_mod.hift_inference(
+                # auto-windows batch-1 long-form mels (1.7x at T=12288)
+                wav, _ = hift_mod.hift_vocode_auto(
                     params, hift_cfg, mel, deterministic=True
                 )
                 if pcm16:
@@ -161,7 +162,7 @@ class Synthesizer:
                     t_mel_max=t_mel, n_timesteps=n_steps, rand_noise=noise,
                     length_scale=length_scale,
                 )
-                wav, _ = hift_mod.hift_inference(
+                wav, _ = hift_mod.hift_vocode_auto(
                     params_hift, hift_cfg, out.mel, deterministic=True
                 )
                 return wav, out.mel, out.mel_lengths

@@ -145,3 +145,39 @@ def test_hift_inference_parity(ref_gen, params, monkeypatch):
         np.asarray(src)[:, :, 0], ref_src.numpy()[:, 0, :], atol=1e-4, rtol=1e-3
     )
     np.testing.assert_allclose(np.asarray(wav), ref_wav.numpy(), atol=2e-3, rtol=1e-2)
+
+
+def test_windowed_vocode_matches_full():
+    """hift_inference_windowed (overlapping-window batch, interiors kept)
+    must reproduce the full decode: convs are translation-equivariant and
+    the reflect-pad dup shifts each window exactly as it shifts the full
+    stream, so with a halo covering the conv receptive field the match is
+    fp-exact (measured 5e-9 max on CPU at halo=32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jyutvoice_tpu.config import JyutVoiceConfig
+    from jyutvoice_tpu.models import hift as H
+
+    cfg = JyutVoiceConfig().hift
+    p = H.init_hift(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 300, 80)) * 0.1, jnp.float32)
+    full, _ = H.hift_inference(p, cfg, mel, deterministic=True)
+    win, _ = H.hift_inference_windowed(
+        p, cfg, mel, window=64, halo=32, deterministic=True
+    )
+    assert win.shape == full.shape
+    np.testing.assert_allclose(
+        np.asarray(win), np.asarray(full), atol=1e-6
+    )
+    # short inputs fall back to the plain decode (identity check)
+    short, _ = H.hift_inference_windowed(
+        p, cfg, mel[:, :100], window=64, halo=32, deterministic=True
+    )
+    ref, _ = H.hift_inference(p, cfg, mel[:, :100], deterministic=True)
+    np.testing.assert_array_equal(np.asarray(short), np.asarray(ref))
+    # auto dispatch: batch-1 long -> windowed; batched -> plain
+    auto, _ = H.hift_vocode_auto(p, cfg, mel)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(full), atol=1e-6)
