@@ -36,7 +36,8 @@ import numpy as np
 @dataclasses.dataclass
 class ServeStats:
     requests: int = 0
-    batches: int = 0
+    batches: int = 0  # finalize rounds (one per collected group)
+    dispatches: int = 0  # device dispatches (text-bucket/split partitions)
     errors: int = 0
     total_wait_s: float = 0.0  # queue wait (submit -> batch start)
     total_latency_s: float = 0.0  # submit -> result
@@ -286,11 +287,27 @@ class ServingEngine:
             # (415 vs 303 xRT) — the device pipelines the dispatches, the
             # host fences once
             sd = self.split_dispatch_at
-            subgroups = (
-                [group[i : i + sd] for i in range(0, len(group), sd)]
-                if len(group) > sd
-                else [group]
-            )
+            # partition by text-length bucket first: the group's mel bucket
+            # is its LONGEST item's, so one long-form request co-batched
+            # with short ones would pad every item to the long bucket
+            # (quadratic attention: ~100x extra compute for the short
+            # requests once TEXT_BUCKETS allows multi-minute texts). Items
+            # within 2x of the partition's shortest text bucket still
+            # share a dispatch (bucket padding absorbs that much cheaply).
+            group.sort(key=lambda r: r.item["_prepped"][2])
+            parts, cur = [], [group[0]]
+            for r in group[1:]:
+                if r.item["_prepped"][2] > 2 * cur[0].item["_prepped"][2]:
+                    parts.append(cur)
+                    cur = [r]
+                else:
+                    cur.append(r)
+            parts.append(cur)
+            subgroups = [
+                part[i : i + sd]
+                for part in parts
+                for i in range(0, len(part), sd)
+            ]
             finals, ok_group = [], []
             for sub in subgroups:
                 for attempt_sub in self._dispatch_attempts(sub):
@@ -305,6 +322,7 @@ class ServingEngine:
                             )
                         )
                         ok_group.extend(attempt_sub)
+                        self.stats.dispatches += 1
                         break
                     except ValueError as e:
                         # prompt bucket + mel bucket past the noise buffer is

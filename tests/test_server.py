@@ -178,3 +178,26 @@ def test_streaming_lane_survives_tick_failure(synth):
         good = lane.submit("好", lang="yue", phone="hou2")
         wav = np.concatenate(list(good))
         assert np.isfinite(wav).all() and len(wav) > 0
+
+
+def test_engine_partitions_mixed_lengths(synth):
+    """A long request must not drag co-batched short ones up to its mel
+    bucket: groups are partitioned by text bucket (>2x gap splits)."""
+    short = ("佢", "keoi5")
+    long_ph = " ".join(["keoi5 hai6 bin1 go3"] * 10)
+    long_tx = "佢係邊個 " * 10
+    with ServingEngine(
+        synth, max_batch=4, max_wait_ms=300.0, n_timesteps=1
+    ) as engine:
+        fs = [
+            engine.submit(short[0], lang="yue", phone=short[1]),
+            engine.submit(long_tx.strip(), lang="yue", phone=long_ph),
+            engine.submit(short[0], lang="yue", phone=short[1]),
+        ]
+        res = [f.result(timeout=600) for f in fs]
+        stats = engine.stats
+    assert all(r.mel_frames > 0 for r in res)
+    # the two shorts share one dispatch, the long goes alone (if all three
+    # coalesced into one group; under scheduling jitter they may arrive as
+    # separate groups, which also keeps the shorts off the long bucket)
+    assert stats.dispatches >= 2
