@@ -310,6 +310,41 @@ class ServingEngine:
             ]
             finals, ok_group = [], []
             for sub in subgroups:
+                # a prompt-free long-form singleton (text past the
+                # interactive buckets) is better served by the one-pass
+                # long path: flash attention + windowed vocoder + no
+                # 15000-frame cap (a >5 min request would otherwise fail
+                # at the mel bucket table)
+                if (
+                    len(sub) == 1
+                    and sub[0].item.get("prompt_feat") is None
+                    and sub[0].item["_prepped"][2] > 512
+                ):
+                    req = sub[0]
+                    try:
+                        res = self.synth.synthesize_long(
+                            req.item["text"],
+                            lang=req.item.get("lang", "yue"),
+                            phone=req.item.get("phone"),
+                            spk_embed=req.item.get("spk_embed"),
+                            n_timesteps=self.n_timesteps,
+                            length_scale=self.length_scale,
+                            pcm16=self.pcm16,
+                        )
+                        if self.pcm16:
+                            res = dataclasses.replace(
+                                res,
+                                wav=np.clip(
+                                    np.round(res.wav * 32767.0),
+                                    -32768, 32767,
+                                ).astype(np.int16),
+                            )
+                        finals.append(lambda r=res: [r])
+                        ok_group.append(req)
+                        self.stats.dispatches += 1
+                    except Exception as e:  # noqa: BLE001
+                        self._fail([req], e)
+                    continue
                 for attempt_sub in self._dispatch_attempts(sub):
                     try:
                         finals.append(

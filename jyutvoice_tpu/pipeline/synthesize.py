@@ -292,6 +292,16 @@ class Synthesizer:
             )[0]
         )
         y_len = int(np.ceil(y_len * length_scale))
+        if y_len > bkt.MEL_BUCKETS[-1] and prompt_feat is None:
+            # past the bucket table (the reference's 300 s cap): the
+            # one-pass long-form path has no such cap (extended noise,
+            # flash attention, windowed vocoder) — delegate instead of
+            # raising. Cloning prompts keep the explicit error below
+            # (prompt grafting is not wired into synthesize_long).
+            return self.synthesize_long(
+                text, lang=lang, phone=phone, spk_embed=spk_embed,
+                n_timesteps=n_timesteps, length_scale=length_scale,
+            )
         t_mel = bkt.pick_bucket(max(y_len, 1), bkt.MEL_BUCKETS)
 
         # prompt padding

@@ -403,3 +403,20 @@ def test_warmup_compiles_bucketed_graphs(synth):
     # a warmed shape synthesizes fine afterwards (cache entries are live)
     res = synth.synthesize("佢", lang="yue", phone="keoi5", n_timesteps=2)
     assert res.mel_frames > 0
+
+
+def test_synthesize_delegates_past_bucket_cap(synth, monkeypatch):
+    """Prompt-free requests past the 15000-frame bucket table must
+    delegate to synthesize_long (no 300 s cap) instead of raising."""
+    called = {}
+
+    def spy(self, text, **kw):
+        called["yes"] = True
+        return "SENTINEL"
+
+    monkeypatch.setattr(type(synth), "synthesize_long", spy)
+    out = synth.synthesize(
+        "佢", lang="yue", phone="keoi5", n_timesteps=1,
+        length_scale=100000.0,
+    )
+    assert called and out == "SENTINEL"

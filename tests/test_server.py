@@ -201,3 +201,24 @@ def test_engine_partitions_mixed_lengths(synth):
     # coalesced into one group; under scheduling jitter they may arrive as
     # separate groups, which also keeps the shorts off the long bucket)
     assert stats.dispatches >= 2
+
+
+def test_engine_routes_long_singleton_via_synthesize_long(synth, monkeypatch):
+    """A prompt-free request past the interactive text buckets must go
+    through the one-pass long-form path (no 15000-frame cap, flash +
+    windowed vocoder), not the batch bucket table."""
+    calls = {}
+    orig = type(synth).synthesize_long
+
+    def spy(self, text, **kw):
+        calls["text"] = text
+        return orig(self, text, **kw)
+
+    monkeypatch.setattr(type(synth), "synthesize_long", spy)
+    long_ph = " ".join(["keoi5 hai6 bin1 go3"] * 40)  # > 512 tokens
+    long_tx = ("佢係邊個 " * 40).strip()
+    with ServingEngine(synth, max_batch=4, n_timesteps=1) as engine:
+        res = engine.submit(long_tx, lang="yue", phone=long_ph).result(
+            timeout=600
+        )
+    assert calls and res.mel_frames > 0
