@@ -7,6 +7,13 @@ otherwise plant an unshardable pallas custom call inside the GSPMD
 program at T >= 2048 (dist/sp.py enforces the same for the
 sequence-parallel solver).
 
+A head-sharded shard_map flash variant (each chip running the stock
+kernel on its local heads) was considered and rejected: TP's niche is
+SHORT-form latency scaling, where the flash gate never fires (scores win
+below T=2048); for long form, per-chip TP score memory stays quadratic
+in T ((2B, H/n, T, T)), so sequence sharding — dist/sp.py, and
+dist/ring.py past its memory wall — dominates there anyway.
+
 
 The reference has no TP (SURVEY.md §2.8) — single-GPU synthesis is its unit
 of work. On TPU, multi-chip latency scaling is nearly free with GSPMD:

@@ -72,6 +72,14 @@ class ServingEngine:
 
     n_timesteps/length_scale are engine-level (one compiled graph family);
     run separate engines for different sampling settings.
+
+    Long-form requests (text past the interactive buckets) route through
+    synthesize_long and occupy the device for seconds; with a single chip
+    this inherently delays co-arriving interactive requests (the solve
+    itself is the device time, not a scheduling artifact). Deployments
+    mixing interactive and multi-minute traffic should run them on
+    separate engine instances/chips, or use StreamingLane for the long
+    jobs (time-sliced with other streams).
     """
 
     def __init__(
