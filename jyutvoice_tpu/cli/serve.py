@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--warmup-mel",
         help="comma-separated mel buckets to warm (default: 128..1024)",
     )
+    ap.add_argument(
+        "--warmup-long",
+        action="store_true",
+        help="also pre-compile the long-form family (synthesize_long: "
+        "text buckets 1024/4096/8192, mel 4096/8192/12288 + windowed "
+        "vocoder) — a cold first multi-minute request pays ~90 s of "
+        "compiles otherwise",
+    )
     ap.add_argument("--verbose", action="store_true")
     return ap
 
@@ -141,6 +149,18 @@ def main(argv=None) -> None:
         )
         log.info(
             "warmup: %d batch graphs in %.1f s", n, time.perf_counter() - t0
+        )
+    if args.warmup_long:
+        import time
+
+        t0 = time.perf_counter()
+        n = synth.warmup_long(
+            n_timesteps=(args.n_timesteps,),
+            pcm16=True,
+            log_fn=lambda m: log.info("%s", m),
+        )
+        log.info(
+            "warmup-long: %d graphs in %.1f s", n, time.perf_counter() - t0
         )
     server = TTSServer(
         synth,

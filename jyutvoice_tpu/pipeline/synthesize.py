@@ -388,8 +388,6 @@ class Synthesizer:
         the inputs a Streaming/MultiStream synthesizer session consumes."""
         import jax.numpy as jnp
 
-        from jyutvoice_tpu.models import text_encoder as te_mod
-        from jyutvoice_tpu.models.tts import _l2_normalize
         from jyutvoice_tpu.nn import core
 
         (x, tone, word_pos, syllable_pos, lang_ids), n, t_text = (
@@ -404,27 +402,7 @@ class Synthesizer:
         # Jitted per bucket: the eager form cost dozens of per-op tunnel
         # dispatches before the first chunk could start.
         cfg = self.cfg.tts
-        key_enc = ("stream_enc", t_text)
-        if key_enc not in self._mel_fns:
-
-            @jax.jit
-            def enc_fn(params, x, n, lang, tone, wp, sp, spk_raw, ls):
-                from jyutvoice_tpu.models import duration as dur_mod
-
-                enc = te_mod.apply_text_encoder(
-                    params["encoder"], cfg.encoder, x, n, lang, tone, wp, sp,
-                    spk_raw,
-                )
-                logw = dur_mod.apply_duration_predictor(
-                    params["dp"], cfg.dp, enc.x, enc.x_mask, spk_raw
-                )
-                w_ceil = jnp.ceil(jnp.exp(logw) * enc.x_mask) * ls
-                c = _l2_normalize(spk_raw, axis=1)
-                c = core.linear(params["spk_embed_affine_layer"], c)
-                return w_ceil, enc.mu, enc.x_mask, c
-
-            self._mel_fns[key_enc] = enc_fn
-        w_ceil, mu, x_mask, c = self._mel_fns[key_enc](
+        w_ceil, mu, x_mask, c = self._stream_enc_fn(t_text)(
             self.params_tts, x, jnp.asarray(n), lang_ids, tone, word_pos,
             syllable_pos, spk_raw, jnp.float32(length_scale),
         )
@@ -510,6 +488,106 @@ class Synthesizer:
             yield chunk[:emit]
             total += emit
 
+    def _long_solve_fn(self, t_mel: int, n_timesteps: int):
+        """Single-device long-form CFM solve graph, cached per shape."""
+        key = ("long_solve", t_mel, n_timesteps)
+        if key not in self._mel_fns:
+            cfm_cfg = self.cfg.tts.cfm
+
+            @jax.jit
+            def solve(dec, mu, mask, spks, cond, noise):
+                from jyutvoice_tpu.models.cfm import cfm_forward
+
+                return cfm_forward(
+                    dec, cfm_cfg, mu, mask, spks, cond,
+                    n_timesteps=n_timesteps, rand_noise=noise,
+                )
+
+            self._mel_fns[key] = solve
+        return self._mel_fns[key]
+
+    def warmup_long(
+        self,
+        mel_sizes=(4096, 8192, 12288),
+        text_buckets=(1024, 4096, 8192),
+        n_timesteps=(10,),
+        pcm16: bool = False,
+        log_fn=None,
+    ) -> int:
+        """Pre-compile the long-form (synthesize_long) graph family.
+
+        A cold first long request pays ~90 s of compiles (measured: text
+        encoder at an 8192-token bucket, the flash-path solve at the
+        512-rounded mel shape, the windowed vocoder). Driving each graph
+        once here moves that to startup and fills the persistent compile
+        cache. mel_sizes should be 512-multiples (synthesize_long rounds
+        its shape table to 512 past T=1536). Returns graphs driven.
+        """
+        import jax.numpy as jnp
+
+        from jyutvoice_tpu.weights.noise import rand_noise_extended
+
+        count = 0
+        ones = jnp.ones((1,), jnp.int32)
+        spk = jnp.zeros((1, self.cfg.tts.spk_embed_dim), self.dtype)
+        for t_text in text_buckets:
+            x = jnp.zeros((1, t_text), jnp.int32)
+            out = self._stream_enc_fn(t_text)(
+                self.params_tts, x, ones, x, x, x, x, spk, jnp.float32(1.0)
+            )
+            jax.block_until_ready(out)
+            count += 1
+            if log_fn:
+                log_fn(f"warmup_long: text bucket {t_text} ready")
+        spks = jnp.zeros((1, 80), jnp.float32)
+        for t_mel in mel_sizes:
+            mu = jnp.zeros((1, t_mel, 80), jnp.float32)
+            mask = jnp.ones((1, t_mel, 1), jnp.float32)
+            cond = jnp.zeros((1, t_mel, 80), jnp.float32)
+            noise = jnp.asarray(rand_noise_extended(t_mel))
+            for steps in n_timesteps:
+                mel = self._long_solve_fn(t_mel, steps)(
+                    self.params_tts["decoder"], mu, mask, spks, cond, noise
+                )
+                wav = self._voc_fn(t_mel, pcm16)(self.params_hift, mel)
+                jax.block_until_ready(wav)
+                count += 1
+                if log_fn:
+                    log_fn(f"warmup_long: mel {t_mel} x {steps} steps ready")
+        return count
+
+    def _stream_enc_fn(self, t_text: int):
+        """Streaming/long text-half graph (encoder + durations + spk
+        affine), cached per text bucket; shared by prepare_stream and
+        warmup_long."""
+        import jax.numpy as jnp
+
+        from jyutvoice_tpu.models import duration as dur_mod
+        from jyutvoice_tpu.models import text_encoder as te_mod
+        from jyutvoice_tpu.models.tts import _l2_normalize
+        from jyutvoice_tpu.nn import core
+
+        cfg = self.cfg.tts
+        key_enc = ("stream_enc", t_text)
+        if key_enc not in self._mel_fns:
+
+            @jax.jit
+            def enc_fn(params, x, n, lang, tone, wp, sp, spk_raw, ls):
+                enc = te_mod.apply_text_encoder(
+                    params["encoder"], cfg.encoder, x, n, lang, tone, wp, sp,
+                    spk_raw,
+                )
+                logw = dur_mod.apply_duration_predictor(
+                    params["dp"], cfg.dp, enc.x, enc.x_mask, spk_raw
+                )
+                w_ceil = jnp.ceil(jnp.exp(logw) * enc.x_mask) * ls
+                c = _l2_normalize(spk_raw, axis=1)
+                c = core.linear(params["spk_embed_affine_layer"], c)
+                return w_ceil, enc.mu, enc.x_mask, c
+
+            self._mel_fns[key_enc] = enc_fn
+        return self._mel_fns[key_enc]
+
     def synthesize_long(
         self,
         text: str,
@@ -591,21 +669,7 @@ class Synthesizer:
         noise = jnp.asarray(rand_noise_extended(t_mel))
 
         if mesh is None:
-            key = ("long_solve", t_mel, n_timesteps)
-            if key not in self._mel_fns:
-                cfm_cfg = self.cfg.tts.cfm
-
-                @jax.jit
-                def solve(dec, mu, mask, spks, cond, noise):
-                    from jyutvoice_tpu.models.cfm import cfm_forward
-
-                    return cfm_forward(
-                        dec, cfm_cfg, mu, mask, spks, cond,
-                        n_timesteps=n_timesteps, rand_noise=noise,
-                    )
-
-                self._mel_fns[key] = solve
-            mel = self._mel_fns[key](
+            mel = self._long_solve_fn(t_mel, n_timesteps)(
                 self.params_tts["decoder"], jnp.asarray(mu),
                 jnp.asarray(mask), jnp.asarray(spks), jnp.asarray(cond),
                 noise,

@@ -420,3 +420,23 @@ def test_synthesize_delegates_past_bucket_cap(synth, monkeypatch):
         length_scale=100000.0,
     )
     assert called and out == "SENTINEL"
+
+
+def test_warmup_long(synth):
+    """warmup_long drives the long-form graph family (text-half encoder,
+    long solve, vocoder) so a cold deployment's first long request does
+    not pay the compiles; subsequent synthesize_long reuses the cache."""
+    n = synth.warmup_long(
+        mel_sizes=(128,), text_buckets=(64,), n_timesteps=(1,)
+    )
+    assert n == 2
+    keys = set(synth._mel_fns)
+    assert ("stream_enc", 64) in keys and ("long_solve", 128, 1) in keys
+    before = len(synth._mel_fns)
+    res = synth.synthesize_long(
+        "佢", lang="yue", phone="keoi5", n_timesteps=1
+    )
+    assert res.mel_frames > 0
+    # the tiny utterance lands in already-warmed buckets -> no new graphs
+    # beyond the text bucket its real length picks
+    assert len(synth._mel_fns) <= before + 2
