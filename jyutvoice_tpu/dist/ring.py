@@ -137,15 +137,9 @@ def ring_attention(
     from jax.sharding import PartitionSpec as P
 
     try:  # jax >= 0.6 public name
-        from jax import shard_map as _shard_map
-
-        def smap(f, **kw):
-            return _shard_map(f, **kw)
+        from jax import shard_map as smap
     except ImportError:  # older experimental location
-        from jax.experimental.shard_map import shard_map as _shard_map
-
-        def smap(f, **kw):
-            return _shard_map(f, **kw)
+        from jax.experimental.shard_map import shard_map as smap
 
     seq4 = P(None, None, axis_name, None)
     seq2 = P(None, axis_name)

@@ -106,17 +106,16 @@ def sp_cfm_solve(
                              "only (no model axis)")
         backend = "ring"
     elif attention == "scores":
-        # force the score-materializing attention path: the long-form
-        # stock flash gate (models/estimator.py::use_stock_flash) would
-        # otherwise fire on the GLOBAL trace shape and plant a pallas_call
-        # inside this GSPMD-sharded graph, where XLA cannot shard a custom
-        # call and would gather the full sequence onto every chip —
-        # defeating SP
         backend = "xla_scores"
     else:
         raise ValueError(
             f"unknown attention={attention!r}: expected 'scores' or 'ring'"
         )
+    # "scores": unconditionally force the score-materializing path — no
+    # pallas custom call may land inside this GSPMD-sharded graph (the
+    # stock-flash gate would fire on the GLOBAL trace shape and XLA would
+    # gather the full sequence onto every chip, defeating SP; same hazard
+    # class as dist/gspmd.py)
     cfm_cfg = dataclasses.replace(
         cfm_cfg,
         estimator=dataclasses.replace(

@@ -52,20 +52,14 @@ def make_tp_mesh(n_devices: int | None = None, axis_name: str = "model") -> Mesh
 
 def tp_cfm_cfg(cfm_cfg):
     """CFM config safe to jit over TP shardings: forces the
-    score-materializing attention path so the long-form stock-flash gate
-    (models/estimator.py::use_stock_flash) cannot plant an unshardable
-    pallas custom call inside the GSPMD program — XLA would all-gather
-    the full sequence onto every chip at each attention block."""
-    import dataclasses
+    score-materializing attention path so neither pallas-capable backend
+    ("xla" via the stock-flash gate, or "pallas") can plant an
+    unshardable custom call inside the GSPMD program — XLA would
+    all-gather the full sequence onto every chip at each attention
+    block. Thin alias of dist/gspmd.py::gspmd_safe_cfm_cfg."""
+    from jyutvoice_tpu.dist.gspmd import gspmd_safe_cfm_cfg
 
-    if cfm_cfg.estimator.attention_backend != "xla":
-        return cfm_cfg
-    return dataclasses.replace(
-        cfm_cfg,
-        estimator=dataclasses.replace(
-            cfm_cfg.estimator, attention_backend="xla_scores"
-        ),
-    )
+    return gspmd_safe_cfm_cfg(cfm_cfg)
 
 
 def _block_specs(axis: str) -> dict:

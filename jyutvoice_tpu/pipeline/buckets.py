@@ -16,6 +16,9 @@ from typing import Sequence, Tuple
 # ~0.5 GB score tensor, far from the chip's limit
 TEXT_BUCKETS: Tuple[int, ...] = (32, 64, 96, 128, 192, 256, 384, 512,
                                  1024, 2048, 4096, 8192)
+# text above this is "long-form": the serving engine routes such requests
+# through synthesize_long instead of co-batching them (pipeline/server.py)
+INTERACTIVE_TEXT_CAP = 512
 # mel frames: 50/s -> up to 300 s (the reference's fixed noise buffer cap)
 MEL_BUCKETS: Tuple[int, ...] = (128, 256, 384, 512, 768, 1024, 1536, 2048,
                                 3072, 4096, 6144, 8192, 12288, 15000)

@@ -302,57 +302,59 @@ class ServingEngine:
             # requests once TEXT_BUCKETS allows multi-minute texts). Items
             # within 2x of the partition's shortest text bucket still
             # share a dispatch (bucket padding absorbs that much cheaply).
-            group.sort(key=lambda r: r.item["_prepped"][2])
-            parts, cur = [], [group[0]]
-            for r in group[1:]:
-                if r.item["_prepped"][2] > 2 * cur[0].item["_prepped"][2]:
-                    parts.append(cur)
-                    cur = [r]
-                else:
-                    cur.append(r)
-            parts.append(cur)
-            subgroups = [
-                part[i : i + sd]
-                for part in parts
-                for i in range(0, len(part), sd)
+            # prompt-free long-form requests (text past the interactive
+            # buckets) each route through the one-pass long path: flash
+            # attention + windowed vocoder + no 15000-frame cap (a >5 min
+            # request would otherwise fail at the mel bucket table — and
+            # co-batching two of them would fail BOTH, so every long
+            # request routes individually, not just singletons)
+            from jyutvoice_tpu.pipeline import buckets as bkt
+
+            long_reqs = [
+                r for r in group
+                if r.item.get("prompt_feat") is None
+                and r.item["_prepped"][2] > bkt.INTERACTIVE_TEXT_CAP
             ]
+            long_ids = {id(r) for r in long_reqs}
+            group = [r for r in group if id(r) not in long_ids]
             finals, ok_group = [], []
+            for req in long_reqs:
+                try:
+                    res = self.synth.synthesize_long(
+                        req.item["text"],
+                        lang=req.item.get("lang", "yue"),
+                        phone=req.item.get("phone"),
+                        spk_embed=req.item.get("spk_embed"),
+                        n_timesteps=self.n_timesteps,
+                        length_scale=self.length_scale,
+                        pcm16=self.pcm16,
+                        dequantize=False,
+                        return_mel=self.return_mel,
+                        prepped=req.item["_prepped"],
+                    )
+                    finals.append(lambda r=res: [r])
+                    ok_group.append(req)
+                    self.stats.dispatches += 1
+                except Exception as e:  # noqa: BLE001
+                    self._fail([req], e)
+            if not group:
+                subgroups = []
+            else:
+                group.sort(key=lambda r: r.item["_prepped"][2])
+                parts, cur = [], [group[0]]
+                for r in group[1:]:
+                    if r.item["_prepped"][2] > 2 * cur[0].item["_prepped"][2]:
+                        parts.append(cur)
+                        cur = [r]
+                    else:
+                        cur.append(r)
+                parts.append(cur)
+                subgroups = [
+                    part[i : i + sd]
+                    for part in parts
+                    for i in range(0, len(part), sd)
+                ]
             for sub in subgroups:
-                # a prompt-free long-form singleton (text past the
-                # interactive buckets) is better served by the one-pass
-                # long path: flash attention + windowed vocoder + no
-                # 15000-frame cap (a >5 min request would otherwise fail
-                # at the mel bucket table)
-                if (
-                    len(sub) == 1
-                    and sub[0].item.get("prompt_feat") is None
-                    and sub[0].item["_prepped"][2] > 512
-                ):
-                    req = sub[0]
-                    try:
-                        res = self.synth.synthesize_long(
-                            req.item["text"],
-                            lang=req.item.get("lang", "yue"),
-                            phone=req.item.get("phone"),
-                            spk_embed=req.item.get("spk_embed"),
-                            n_timesteps=self.n_timesteps,
-                            length_scale=self.length_scale,
-                            pcm16=self.pcm16,
-                        )
-                        if self.pcm16:
-                            res = dataclasses.replace(
-                                res,
-                                wav=np.clip(
-                                    np.round(res.wav * 32767.0),
-                                    -32768, 32767,
-                                ).astype(np.int16),
-                            )
-                        finals.append(lambda r=res: [r])
-                        ok_group.append(req)
-                        self.stats.dispatches += 1
-                    except Exception as e:  # noqa: BLE001
-                        self._fail([req], e)
-                    continue
                 for attempt_sub in self._dispatch_attempts(sub):
                     try:
                         finals.append(

@@ -382,16 +382,19 @@ class Synthesizer:
         spk_embed: Optional[np.ndarray] = None,
         chunk_frames: int = 100,
         length_scale: float = 1.0,
+        prepped=None,
     ):
         """Text half for streaming: encoder + durations + expand, one
         bucketed-jit dispatch. Returns (mu_y (T,80), c (80,), y_len) —
-        the inputs a Streaming/MultiStream synthesizer session consumes."""
+        the inputs a Streaming/MultiStream synthesizer session consumes.
+        prepped= reuses a cached prepare_text result (skips g2p)."""
         import jax.numpy as jnp
 
         from jyutvoice_tpu.nn import core
 
         (x, tone, word_pos, syllable_pos, lang_ids), n, t_text = (
-            self.prepare_text(text, lang, phone)
+            prepped if prepped is not None
+            else self.prepare_text(text, lang, phone)
         )
         if spk_embed is None:
             spk_raw = jnp.zeros((1, self.cfg.tts.spk_embed_dim), self.dtype)
@@ -401,7 +404,6 @@ class Synthesizer:
         # text encoder + durations + expand -> mu_y for the whole utterance.
         # Jitted per bucket: the eager form cost dozens of per-op tunnel
         # dispatches before the first chunk could start.
-        cfg = self.cfg.tts
         w_ceil, mu, x_mask, c = self._stream_enc_fn(t_text)(
             self.params_tts, x, jnp.asarray(n), lang_ids, tone, word_pos,
             syllable_pos, spk_raw, jnp.float32(length_scale),
@@ -508,8 +510,11 @@ class Synthesizer:
 
     def warmup_long(
         self,
-        mel_sizes=(4096, 8192, 12288),
-        text_buckets=(1024, 4096, 8192),
+        # the full long-form shape table synthesize_long actually picks:
+        # every 512-aligned mel bucket >= 2048 (the 15000 cap 512-rounds
+        # into the 12288-15360 window, warmed on demand)
+        mel_sizes=(2048, 3072, 4096, 6144, 8192, 12288),
+        text_buckets=(1024, 2048, 4096, 8192),
         n_timesteps=(10,),
         pcm16: bool = False,
         log_fn=None,
@@ -599,6 +604,9 @@ class Synthesizer:
         length_scale: float = 1.0,
         sp_attention: str = "scores",
         pcm16: bool = False,
+        dequantize: bool = True,
+        return_mel: bool = True,
+        prepped=None,
     ) -> SynthesisResult:
         """One-pass long-form synthesis, optionally sequence-parallel.
 
@@ -621,7 +629,10 @@ class Synthesizer:
         pcm16=True converts the wav to int16 ON DEVICE and dequantizes on
         host: halves the dominant long-form readback bytes over a
         tunnel-attached chip at 16-bit audio precision (wav files are
-        16-bit anyway).
+        16-bit anyway). dequantize=False keeps the raw int16 (serving
+        transport); return_mel=False skips the mel readback (~4 MB at
+        240 s over the tunnel); prepped= reuses a cached prepare_text
+        result (the serving engine validates the frontend per request).
         """
         import jax.numpy as jnp
 
@@ -637,6 +648,7 @@ class Synthesizer:
         mu_y, c, y_len = self.prepare_stream(
             text, lang=lang, phone=phone, spk_embed=spk_embed,
             chunk_frames=granule, length_scale=length_scale,
+            prepped=prepped,
         )
         # single-device long decodes hit the stock-flash attention gate
         # (models/estimator.py::use_stock_flash, 1.6-1.75x) only at
@@ -708,9 +720,13 @@ class Synthesizer:
         wav = self._voc_fn(t_mel, pcm16)(self.params_hift, mel)
         # ONE combined host fetch: long-form readback is transport-bound
         # (~23 MB f32 wav at ~15 MB/s tunnel for 240 s audio); pcm16=True
-        # halves the wav bytes via the on-device int16 conversion
-        wav_np, mel_np = jax.device_get((wav, mel))
-        if pcm16:
+        # halves the wav bytes via the on-device int16 conversion, and
+        # return_mel=False skips the mel bytes entirely
+        if return_mel:
+            wav_np, mel_np = jax.device_get((wav, mel))
+        else:
+            wav_np, mel_np = jax.device_get(wav), None
+        if pcm16 and dequantize:
             wav_np = wav_np.astype(np.float32) / 32767.0
         t3 = time.perf_counter()
 
@@ -719,7 +735,7 @@ class Synthesizer:
         elapsed = t3 - t0
         return SynthesisResult(
             wav=wav_np[0, :num_samples],
-            mel=mel_np[0, :y_len],
+            mel=mel_np[0, :y_len] if return_mel else None,
             mel_frames=y_len,
             rtf=elapsed / max(audio_seconds, 1e-9),
             timings={

@@ -154,24 +154,21 @@ def jit_loss_fn():
 
 
 def gspmd_safe_tts_cfg(tts_cfg: TTSConfig) -> TTSConfig:
-    """TTS config safe to jit over a multi-device GSPMD mesh: forces the
-    score-materializing attention path so the long-form stock-flash gate
-    (models/estimator.py::use_stock_flash, fires at T >= 2048 in training
-    graphs too) cannot plant an unshardable pallas custom call inside the
-    batch-sharded step — XLA would gather the batch onto every chip.
-    Same hazard class as dist/sp.py / dist/tp.py::tp_cfm_cfg. Single-device
-    training keeps the gate (measured grad-step speedups 1.08-1.36x at
-    T=2048-4096, docs/design.md)."""
+    """TTS config safe to jit over a multi-device GSPMD mesh: rewrites
+    pallas-capable attention backends ("xla" — whose long-form
+    stock-flash gate fires at T >= 2048 in training graphs too — and
+    "pallas") to the score path so no unshardable custom call lands in
+    the batch-sharded step (dist/gspmd.py). Single-device training keeps
+    the gate (measured grad-step speedups 1.08-1.36x at T=2048-4096,
+    docs/design.md)."""
     import dataclasses
 
-    if tts_cfg.cfm.estimator.attention_backend != "xla":
+    from jyutvoice_tpu.dist.gspmd import gspmd_safe_cfm_cfg
+
+    cfm = gspmd_safe_cfm_cfg(tts_cfg.cfm)
+    if cfm is tts_cfg.cfm:
         return tts_cfg
-    est = dataclasses.replace(
-        tts_cfg.cfm.estimator, attention_backend="xla_scores"
-    )
-    return dataclasses.replace(
-        tts_cfg, cfm=dataclasses.replace(tts_cfg.cfm, estimator=est)
-    )
+    return dataclasses.replace(tts_cfg, cfm=cfm)
 
 
 def make_train_step(tts_cfg: TTSConfig, train_cfg: TrainConfig, tx):

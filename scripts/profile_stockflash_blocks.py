@@ -83,7 +83,7 @@ def main():
 
             try:
                 out = solve(dec, mu, mask, spks, cond, noise)
-                float(jnp.sum(out))  # warmup fence (no full readback)[:, :valid]
+                float(jnp.sum(out))  # warmup fence (no full readback)
 
                 def timed(n):
                     t0 = time.perf_counter()
