@@ -22,9 +22,11 @@ import time
 import numpy as np
 
 HEADLINE_BUCKET = 512
-# 2048 = 41 s one-pass long-form decode: exercises the T>=1536 bf16-score
-# gate (round 3; estimator.use_compact_scores) in the official curve
-CURVE_BUCKETS = (128, 256, 512, 1024, 2048)
+# 2048 = 41 s one-pass decode (stock-flash gate + 512-promoted prompt);
+# 12288 = 246 s decode (flash + windowed vocoder) — the long-form story
+# in the official curve. The 12288 point runs few iterations (one solve
+# is ~5 s of device time); it is a detail metric, not the headline.
+CURVE_BUCKETS = (128, 256, 512, 1024, 2048, 12288)
 
 
 def _enable_compile_cache():
@@ -125,7 +127,8 @@ def main():
 
         @jax.jit
         def voc_fn(params, mel):
-            wav, _ = hift_mod.hift_inference(
+            # auto-windows batch-1 long-form mels, as production does
+            wav, _ = hift_mod.hift_vocode_auto(
                 params, hift_cfg, mel, deterministic=True
             )
             return wav
@@ -161,7 +164,7 @@ def main():
         is_headline = t_mel == HEADLINE_BUCKET
         p50 = measure(
             run_once,
-            iters=20 if is_headline else 8,
+            iters=20 if is_headline else (2 if t_mel >= 8192 else 8),
             repeats=3 if is_headline else 2,
         )
         curve[t_mel] = p50
