@@ -319,18 +319,20 @@ class Synthesizer:
             ph = np.zeros((1, 0, 80), np.float32)
             plen = np.array([0], np.int32)
 
-        if t_prompt + t_mel > self.noise.shape[1]:
-            raise ValueError(
-                f"prompt ({t_prompt}) + mel ({t_mel}) frames exceed the "
-                f"{self.noise.shape[1]}-frame deterministic noise buffer "
-                "(300 s cap, reference flow_matching.py:354); synthesize in "
-                "chunks via synthesize_streaming instead"
-            )
+        noise = self.noise
+        if t_prompt + t_mel > noise.shape[1]:
+            # past the reference's fixed 300 s buffer (flow_matching.py:354)
+            # — e.g. a cloning prompt pushing a near-cap utterance over —
+            # extend deterministically (weights/noise.py: bit-identical for
+            # the first 15000 frames, PRNG-extended beyond)
+            from jyutvoice_tpu.weights.noise import rand_noise_extended
+
+            noise = jnp.asarray(rand_noise_extended(t_prompt + t_mel))
         t1 = time.perf_counter()
         key = (t_text, t_mel, t_prompt, n_timesteps)
         if fused:
             wav, mel, mel_lengths = self._fused_fn(key)(
-                self.params_tts, self.params_hift, self.noise, x, x_lengths,
+                self.params_tts, self.params_hift, noise, x, x_lengths,
                 lang_ids, tone, word_pos, syllable_pos, spk, jnp.asarray(pf),
                 jnp.asarray(ph), jnp.asarray(plen),
                 length_scale=jnp.float32(length_scale),
@@ -344,7 +346,7 @@ class Synthesizer:
             t2 = t3 = time.perf_counter()
         else:
             out = self._mel_fn(key)(
-                self.params_tts, self.noise, x, x_lengths, lang_ids, tone,
+                self.params_tts, noise, x, x_lengths, lang_ids, tone,
                 word_pos, syllable_pos, spk, jnp.asarray(pf), jnp.asarray(ph),
                 jnp.asarray(plen), length_scale=jnp.float32(length_scale),
             )

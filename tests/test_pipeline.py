@@ -440,3 +440,21 @@ def test_warmup_long(synth):
     # the tiny utterance lands in already-warmed buckets -> no new graphs
     # beyond the text bucket its real length picks
     assert len(synth._mel_fns) <= before + 2
+
+
+def test_synthesize_prompt_past_noise_buffer_extends(synth, monkeypatch):
+    """A cloning prompt pushing a near-cap utterance past the 15000-frame
+    noise buffer must extend the noise deterministically, not raise
+    (weights/noise.py::rand_noise_extended is prefix-stable)."""
+    import jax.numpy as jnp
+
+    # shrink the buffer so a tiny utterance + prompt crosses it
+    monkeypatch.setattr(synth, "noise", synth.noise[:, :32])
+    rng = np.random.default_rng(0)
+    res = synth.synthesize(
+        "佢", lang="yue", phone="keoi5",
+        prompt_feat=rng.standard_normal((40, 80)).astype(np.float32),
+        prompt_h=rng.standard_normal((40, 80)).astype(np.float32),
+        n_timesteps=1,
+    )
+    assert res.mel_frames > 0 and np.isfinite(res.wav).all()
