@@ -222,3 +222,28 @@ def test_long_frame_granule_divisible_by_any_mesh():
         g = long_frame_granule(n_seq)
         assert g % 32 == 0
         assert g % n_seq == 0, (n_seq, g)
+
+
+def test_ring_attention_unit_vs_sdpa():
+    """dist/ring.py::ring_attention vs the dense SDPA core directly:
+    batched, multi-head, random per-row key-validity mask."""
+    from jyutvoice_tpu.dist.ring import ring_attention
+    from jyutvoice_tpu.nn import attention, core
+
+    mesh = make_sp_mesh(8)
+    rng = np.random.default_rng(7)
+    b, h, t, d = 3, 4, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    lens = jnp.asarray([t, 41, 17])  # tails span several shards
+    valid = jnp.arange(t)[None, :] < lens[:, None]
+    with mesh:
+        got = ring_attention(q, k, v, valid, mesh, "seq")
+    bias = core.mask_to_bias(valid)[:, None, None, :]  # keys only
+    want = attention.sdpa(q, k, v, bias=bias)
+    got, want = np.asarray(got), np.asarray(want)
+    for i, n in enumerate([t, 41, 17]):
+        np.testing.assert_allclose(
+            got[i, :, :n], want[i, :, :n], atol=2e-6, rtol=1e-5
+        )
