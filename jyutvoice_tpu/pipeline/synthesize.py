@@ -814,6 +814,13 @@ class Synthesizer:
             )
         )
         y_max = int(np.ceil(y_lens.max() * length_scale))
+        if y_max > bkt.MEL_BUCKETS[-1]:
+            raise ValueError(
+                f"an item needs {y_max} mel frames, past the "
+                f"{bkt.MEL_BUCKETS[-1]}-frame batch table — synthesize it "
+                "individually: synthesize()/synthesize_long for prompt-free "
+                "text (no length cap), synthesize_streaming for cloning"
+            )
         t_mel = bkt.pick_bucket(max(y_max, 1), bkt.MEL_BUCKETS)
 
         p_lens = np.array(
