@@ -25,6 +25,7 @@ jnp + lax so it runs identically on the CPU test mesh and TPU pods.
 from __future__ import annotations
 
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -39,22 +40,28 @@ _NEG = -1e30  # not -inf: an all-masked tile must not NaN the running max
 # live mesh here. jax.jit traces lazily on the FIRST CALL, so the solver
 # re-binds its own mesh before every call (dist/sp.py::run) — building
 # several ring solvers before calling them cannot cross-wire meshes. The
-# jitted graph bakes the mesh in at trace time.
-_ACTIVE: dict = {}
+# jitted graph bakes the mesh in at trace time. The registry is
+# THREAD-LOCAL: run() re-binds in the calling thread immediately before
+# the jitted call, so two threads first-calling different ring solvers
+# concurrently each trace against their own mesh instead of racing on a
+# shared global.
+_ACTIVE = threading.local()
 
 
 def set_ring_context(mesh, axis_name: str) -> None:
-    _ACTIVE["mesh"] = mesh
-    _ACTIVE["axis"] = axis_name
+    _ACTIVE.mesh = mesh
+    _ACTIVE.axis = axis_name
 
 
 def get_ring_context():
-    if "mesh" not in _ACTIVE:
+    if getattr(_ACTIVE, "mesh", None) is None:
         raise RuntimeError(
             "attention_backend='ring' requires dist.ring.set_ring_context"
-            "(mesh, axis) first (dist/sp.py::sp_cfm_solve does this)"
+            "(mesh, axis) first (dist/sp.py::sp_cfm_solve does this) — "
+            "note the registry is thread-local: bind it in the thread "
+            "that makes the first (tracing) call"
         )
-    return _ACTIVE["mesh"], _ACTIVE["axis"]
+    return _ACTIVE.mesh, _ACTIVE.axis
 
 
 def ring_attention_local(

@@ -307,7 +307,10 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception:  # noqa: BLE001 — mid-stream failure (lane error
             # or client disconnect): drop the connection WITHOUT the
             # chunked terminator so the client sees an aborted transfer,
-            # never truncated audio dressed as a complete 200 response
+            # never truncated audio dressed as a complete 200 response —
+            # and cancel the lane session so the slot frees now instead of
+            # decoding the rest of the utterance into an abandoned queue
+            handle.cancel()
             self.close_connection = True
 
 

@@ -243,14 +243,56 @@ class ServingEngine:
                 self._fail([req], e)
         return ok
 
-    @staticmethod
-    def _dispatch_attempts(sub: List[_Request]):
-        """First the whole subgroup, then (if the noise-cap retry asked for
-        it via `continue`) the subgroup minus prompt-bearing items."""
-        yield sub
-        rest = [r for r in sub if r.item.get("prompt_feat") is None]
-        if rest and len(rest) < len(sub):
-            yield rest
+    def _dispatch_sub(self, sub: List[_Request], finals, ok_group) -> None:
+        """Dispatch one subgroup, isolating per-request failures: culprit
+        requests (over-long items, noise-cap prompt items) are failed
+        individually and the innocent rest is re-dispatched."""
+        from jyutvoice_tpu.pipeline.synthesize import OverLongBatchItems
+
+        attempt = list(sub)
+        while attempt:
+            try:
+                finals.append(
+                    self.synth.synthesize_batch_dispatch(
+                        [r.item for r in attempt],
+                        n_timesteps=self.n_timesteps,
+                        length_scale=self.length_scale,
+                        return_mel=self.return_mel,
+                        pcm16=self.pcm16,
+                    )
+                )
+                ok_group.extend(attempt)
+                self.stats.dispatches += 1
+                return
+            except OverLongBatchItems as e:
+                # the dispatcher identifies exactly which items exceeded
+                # the batch mel table — fail those, retry the rest
+                culprits = [attempt[i] for i in e.indices]
+                if not culprits:
+                    self._fail(attempt, e)
+                    return
+                self._fail(culprits, e)
+                failed = {id(r) for r in culprits}
+                attempt = [r for r in attempt if id(r) not in failed]
+            except ValueError as e:
+                # prompt bucket + mel bucket past the noise buffer is a
+                # GROUP property (mel bucket = the longest item): fail only
+                # the prompt-bearing culprits and retry the rest, instead
+                # of failing innocent co-batched items
+                culprits = [
+                    r for r in attempt
+                    if r.item.get("prompt_feat") is not None
+                ]
+                if "noise buffer" in str(e) and culprits:
+                    self._fail(culprits, e)
+                    failed = {id(r) for r in culprits}
+                    attempt = [r for r in attempt if id(r) not in failed]
+                    continue
+                self._fail(attempt, e)
+                return
+            except Exception as e:  # noqa: BLE001
+                self._fail(attempt, e)
+                return
 
     def _finalize(self, group: List[_Request], finalize) -> None:
         try:
@@ -355,37 +397,7 @@ class ServingEngine:
                     for i in range(0, len(part), sd)
                 ]
             for sub in subgroups:
-                for attempt_sub in self._dispatch_attempts(sub):
-                    try:
-                        finals.append(
-                            self.synth.synthesize_batch_dispatch(
-                                [r.item for r in attempt_sub],
-                                n_timesteps=self.n_timesteps,
-                                length_scale=self.length_scale,
-                                return_mel=self.return_mel,
-                                pcm16=self.pcm16,
-                            )
-                        )
-                        ok_group.extend(attempt_sub)
-                        self.stats.dispatches += 1
-                        break
-                    except ValueError as e:
-                        # prompt bucket + mel bucket past the noise buffer is
-                        # a GROUP property (mel bucket = the longest item):
-                        # fail only the prompt-bearing culprits and retry the
-                        # rest, instead of failing innocent co-batched items
-                        culprits = [
-                            r for r in attempt_sub
-                            if r.item.get("prompt_feat") is not None
-                        ]
-                        if "noise buffer" in str(e) and culprits:
-                            self._fail(culprits, e)
-                            continue  # next attempt: sub minus culprits
-                        self._fail(attempt_sub, e)
-                        break
-                    except Exception as e:  # noqa: BLE001
-                        self._fail(attempt_sub, e)
-                        break
+                self._dispatch_sub(sub, finals, ok_group)
             if finals:
 
                 def finalize(fins=tuple(finals)):
@@ -404,12 +416,25 @@ class ServingEngine:
 
 
 class _StreamHandle:
-    """Client side of a streaming request: iterate to receive wav chunks."""
+    """Client side of a streaming request: iterate to receive wav chunks.
+
+    cancel() tells the lane to stop decoding this stream: the session's
+    slot frees at the next worker pass and no further chunks are buffered
+    — without it an abandoned client (HTTP disconnect) would keep a slot
+    busy and accumulate the whole remaining utterance in _q."""
 
     _DONE = object()
 
     def __init__(self):
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._cancelled = threading.Event()
+
+    def cancel(self) -> None:
+        self._cancelled.set()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancelled.is_set()
 
     def __iter__(self):
         while True:
@@ -514,6 +539,10 @@ class StreamingLane:
             if item is None:
                 return
             handle, req = item
+            if handle.cancelled:
+                # client gave up while queued — don't burn a slot on it
+                handle._q.put(_StreamHandle._DONE)
+                continue
             try:
                 mu_y, c, y_len = self.synth.prepare_stream(
                     req["text"], lang=req["lang"], phone=req["phone"],
@@ -527,8 +556,20 @@ class StreamingLane:
                 handle._q.put(e)
             block = False  # only block while completely idle
 
+    def _reap_cancelled(self) -> None:
+        """Free slots whose client cancelled (HTTP disconnect): close the
+        session (drops its share of any in-flight dispatch) so the slot
+        admits a waiting stream instead of decoding into an abandoned
+        queue for the rest of the utterance."""
+        for sid, (handle, _rem) in list(self._handles.items()):
+            if handle.cancelled:
+                self._ms.close(sid)
+                del self._handles[sid]
+                handle._q.put(_StreamHandle._DONE)
+
     def _run(self) -> None:
         while not self._stop.is_set():
+            self._reap_cancelled()
             self._admit(block=self._ms.active == 0)
             if self._ms.active == 0:
                 continue

@@ -102,12 +102,15 @@ def export_stablehlo(
 
     from jax import export as jexport
 
-    if cfg.tts.cfm.estimator.attention_backend == "xla":
-        est = dataclasses.replace(
-            cfg.tts.cfm.estimator, attention_backend="xla_scores"
-        )
-        cfm = dataclasses.replace(cfg.tts.cfm, estimator=est)
-        tts = dataclasses.replace(cfg.tts, cfm=cfm)
+    from jyutvoice_tpu.dist.gspmd import gspmd_safe_cfm_cfg
+
+    # gspmd_safe_cfm_cfg rewrites BOTH pallas-capable backends ("xla"'s
+    # stock-flash gate and the explicit "pallas" kernel) — an 'xla'-only
+    # check here would still embed a TPU-only custom call for
+    # attention_backend="pallas" configs
+    safe_cfm = gspmd_safe_cfm_cfg(cfg.tts.cfm)
+    if safe_cfm is not cfg.tts.cfm:
+        tts = dataclasses.replace(cfg.tts, cfm=safe_cfm)
         cfg = dataclasses.replace(cfg, tts=tts)
     fn = build_serving_fn(
         cfg, params_tts, params_hift,

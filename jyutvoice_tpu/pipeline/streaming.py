@@ -670,6 +670,19 @@ class MultiStreamSynthesizer:
             st["has_held"] = next_held
         return plan, wav
 
+    def close(self, sid: int) -> None:
+        """Release a session's slot early (client cancelled). Frees the
+        slot immediately and drops the sid's share of any in-flight
+        dispatch — without this, a slot reopened before that delivery
+        would receive the cancelled session's audio (and be killed by its
+        is_last flag)."""
+        self._sessions[sid] = None
+        if self._pending is not None:
+            plan, _wav = self._pending
+            plan.pop(sid, None)
+            if not plan:
+                self._pending = None
+
     def _deliver(self, pending):
         plan, wav = pending
         wav_np = np.asarray(wav)  # the ONE readback for all sessions

@@ -42,6 +42,17 @@ def long_frame_granule(n_seq: int) -> int:
     return math.lcm(32, n_seq) if n_seq > 1 else 32
 
 
+class OverLongBatchItems(ValueError):
+    """Raised by synthesize_batch_dispatch when specific items need more
+    mel frames than the batch bucket table allows. `indices` lists the
+    culprit positions in the passed items list so a server can fail only
+    those requests and re-dispatch the innocent rest."""
+
+    def __init__(self, msg: str, indices):
+        super().__init__(msg)
+        self.indices = tuple(indices)
+
+
 @dataclasses.dataclass
 class SynthesisResult:
     wav: np.ndarray  # (num_samples,) float32 at 24 kHz
@@ -189,9 +200,12 @@ class Synthesizer:
         startup and populates the persistent compilation cache, after
         which warmup itself is seconds. batch_sizes follows the serving
         engine's power-of-two padding (synthesize_batch_dispatch): warm
-        (1, 2, 4, 8) to cover max_batch=8. batch 1 warms the fused
-        single-dispatch graph the direct synthesize() path uses; larger
-        batches warm the engine's mel+vocoder pair.
+        (1, 2, 4, 8) to cover max_batch=8. batch 1 warms BOTH graph
+        families — the fused single-dispatch graph the direct
+        synthesize() path uses AND the engine's mel+vocoder pair (a
+        singleton serving group dispatches through the latter at
+        b_pad=1, a different XLA program); larger batches warm the
+        mel+vocoder pair only.
 
         Defaults cover the common interactive envelope (short sentences,
         no cloning prompt): text <= 128 tokens, mel <= 1024 frames (~20 s).
@@ -225,15 +239,20 @@ class Synthesizer:
                                     pf, pf, plen,
                                     length_scale=jnp.float32(1.0),
                                 )
-                            else:
-                                out = self._mel_fn(key)(
-                                    self.params_tts, self.noise, x, ones,
-                                    x, x, x, x, spk, pf, pf, plen,
-                                    length_scale=jnp.float32(1.0),
-                                )
-                                wav = self._voc_fn(t_mel, pcm16)(
-                                    self.params_hift, out.mel
-                                )
+                                count += 1
+                            # the engine path dispatches EVERY group —
+                            # including singletons at b_pad=1 — through
+                            # the mel+vocoder pair, a different XLA
+                            # program from the fused graph: warm it at
+                            # every batch size
+                            out = self._mel_fn(key)(
+                                self.params_tts, self.noise, x, ones,
+                                x, x, x, x, spk, pf, pf, plen,
+                                length_scale=jnp.float32(1.0),
+                            )
+                            wav = self._voc_fn(t_mel, pcm16)(
+                                self.params_hift, out.mel
+                            )
                             count += 1
         if wav is not None:
             # one honest fence (readback; block_until_ready lies over the
@@ -301,6 +320,11 @@ class Synthesizer:
             return self.synthesize_long(
                 text, lang=lang, phone=phone, spk_embed=spk_embed,
                 n_timesteps=n_timesteps, length_scale=length_scale,
+                # reuse this call's g2p output — re-running prepare_text on
+                # a multi-minute text doubles the frontend host work
+                prepped=(
+                    (x, tone, word_pos, syllable_pos, lang_ids), n, t_text
+                ),
             )
         t_mel = bkt.pick_bucket(max(y_len, 1), bkt.MEL_BUCKETS)
 
@@ -815,11 +839,19 @@ class Synthesizer:
         )
         y_max = int(np.ceil(y_lens.max() * length_scale))
         if y_max > bkt.MEL_BUCKETS[-1]:
-            raise ValueError(
+            # identify the actual culprits (padding rows are copies of row
+            # 0, so real indices < b_real suffice) — a server uses these to
+            # fail only the over-long requests and retry the rest
+            need = np.ceil(y_lens[:b_real] * length_scale)
+            culprits = [
+                i for i in range(b_real) if need[i] > bkt.MEL_BUCKETS[-1]
+            ]
+            raise OverLongBatchItems(
                 f"an item needs {y_max} mel frames, past the "
                 f"{bkt.MEL_BUCKETS[-1]}-frame batch table — synthesize it "
                 "individually: synthesize()/synthesize_long for prompt-free "
-                "text (no length cap), synthesize_streaming for cloning"
+                "text (no length cap), synthesize_streaming for cloning",
+                culprits,
             )
         t_mel = bkt.pick_bucket(max(y_max, 1), bkt.MEL_BUCKETS)
 

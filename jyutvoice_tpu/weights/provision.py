@@ -339,7 +339,12 @@ def verify(
         tts_ckpt=tts_ckpt,
         out_dir=out_dir,
         cfg=cfg,
-        assemble_pretrain=tts_ckpt is None and flow_pt is not None,
+        # flow_pt may only become available inside provision() via
+        # --download, so gate on `download` too — otherwise the documented
+        # `provision --verify --download` recipe converts everything and
+        # then fails for want of a tts_init it never assembled.
+        assemble_pretrain=tts_ckpt is None
+        and (flow_pt is not None or download),
         download=download,
         download_dir=download_dir,
         fetch=fetch,

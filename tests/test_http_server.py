@@ -121,6 +121,44 @@ def test_tts_stream_endpoint(server):
     assert np.abs(pcm).max() > 0
 
 
+def test_stream_client_disconnect_frees_lane_slot(server):
+    """Dropping a /tts/stream connection mid-transfer must cancel the lane
+    session (slot frees, no further decode into an abandoned queue) — not
+    just abort the HTTP response."""
+    import socket
+    import time as time_mod
+
+    srv, _ = server
+    long_ph = " ".join([PHONE] * 30)
+    body = json.dumps(
+        {"text": ("佢係邊個 " * 30).strip(), "lang": "yue", "phone": long_ph}
+    ).encode()
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=120)
+    try:
+        s.sendall(
+            b"POST /tts/stream HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        s.settimeout(300)
+        got = b""
+        while len(got) < 2048:  # headers + wav header + first pcm chunk
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            got += chunk
+        assert b"200" in got.split(b"\r\n", 1)[0]
+    finally:
+        s.close()  # client walks away mid-utterance
+    # the session must be reaped (cancel on write failure -> slot free)
+    deadline = time_mod.monotonic() + 240
+    while time_mod.monotonic() < deadline:
+        if srv.lane._ms.active == 0 and not srv.lane._handles:
+            break
+        time_mod.sleep(0.2)
+    assert srv.lane._ms.active == 0 and not srv.lane._handles
+
+
 def test_concurrent_requests_coalesce(server):
     """Parallel clients ride one batched dispatch (dynamic batching
     through the HTTP layer), all succeed, results are per-request."""

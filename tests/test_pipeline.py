@@ -389,13 +389,16 @@ def test_prompt_extractor_flow_encoder_bucketed():
 
 def test_warmup_compiles_bucketed_graphs(synth):
     """warmup() drives the dur/fused graph at batch 1 and the mel+vocoder
-    pair at engine batch sizes, caching them under the keys the serving
-    paths will look up."""
+    pair at EVERY batch size (the engine dispatches singleton groups
+    through the mel+vocoder pair at b_pad=1 — a different XLA program from
+    the fused graph), caching them under the keys the serving paths will
+    look up."""
     n = synth.warmup(
         text_buckets=(32,), mel_buckets=(128,), n_timesteps=(2,),
         batch_sizes=(1, 2), pcm16=True,
     )
-    assert n == 4  # per batch size: 1 dur graph + 1 shape combo
+    # b=1: dur + fused + mel/voc pair = 3; b=2: dur + mel/voc pair = 2
+    assert n == 5
     assert ("fused", 32, 128, 0, 2) in synth._mel_fns  # direct path (b=1)
     assert (32, 128, 0, 2) in synth._mel_fns  # engine mel graph (b=2)
     assert (128, True) in synth._voc_fns  # engine PCM16 vocoder

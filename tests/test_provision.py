@@ -192,3 +192,35 @@ def test_verify_recipe_on_synthetic_standins(tmp_path):
     assert metrics["xrt"] > 0
     assert "mel_mae" in metrics and np.isfinite(metrics["mel_mae"])
     assert metrics["audit"].startswith("pass")
+
+
+def test_verify_with_download_assembles_pretrain(tmp_path):
+    """`provision --verify --download` with no explicit checkpoint paths:
+    flow.pt only becomes available inside provision(), so verify() must
+    still assemble tts_init from it (regression: the assemble gate used to
+    read the pre-download flow_pt=None and the documented one-command
+    recipe failed AFTER a full download + conversion)."""
+    from tests.test_hift_parity import _build_ref_hift
+
+    dl = tmp_path / "dl"
+    dl.mkdir()
+    # "already downloaded" artifacts: download_artifacts never re-fetches
+    flow_pt, _ = _make_flow_pt(dl)
+    assert flow_pt == str(dl / "flow.pt")
+    torch.save(_build_ref_hift().state_dict(), str(dl / "hift.pt"))
+
+    def offline_fetch(url, dest):
+        raise OSError("network down")  # campplus/speech_tokenizer skip
+
+    metrics = provision.verify(
+        out_dir=str(tmp_path / "npz"),
+        text="佢",
+        lang="yue",
+        phone="keoi5",
+        n_timesteps=2,
+        download=True,
+        download_dir=str(dl),
+        fetch=offline_fetch,
+    )
+    assert metrics["xrt"] > 0
+    assert metrics["audit"].startswith("pass")

@@ -203,6 +203,82 @@ def test_engine_partitions_mixed_lengths(synth):
     assert stats.dispatches >= 2
 
 
+def test_batch_dispatch_overlong_culprit_indices(synth, monkeypatch):
+    """synthesize_batch_dispatch identifies WHICH items exceed the batch
+    mel table (OverLongBatchItems.indices), so a server can fail only
+    those requests instead of the whole subgroup."""
+    from jyutvoice_tpu.pipeline import buckets as bkt
+    from jyutvoice_tpu.pipeline.synthesize import OverLongBatchItems
+
+    cap = bkt.MEL_BUCKETS[-1]
+
+    def fake_dur(t_text):
+        def f(params, x, x_lengths, lang, tone, wp, sp, spk):
+            out = np.full((x.shape[0],), 10, np.int64)
+            out[1] = cap + 7  # item 1 is the over-long one
+            return out
+
+        return f
+
+    monkeypatch.setattr(synth, "_dur_fn", fake_dur)
+    items = [
+        dict(text="佢", lang="yue", phone="keoi5"),
+        dict(text="好", lang="yue", phone="hou2"),
+    ]
+    with pytest.raises(OverLongBatchItems) as ei:
+        synth.synthesize_batch_dispatch(items, n_timesteps=2)
+    assert ei.value.indices == (1,)
+
+
+def test_engine_overlong_item_fails_only_culprit(synth, monkeypatch):
+    """An item past the batch mel table fails its own request; innocent
+    co-batched requests are re-dispatched, not poisoned (regression: the
+    whole subgroup used to fail with the culprit's error)."""
+    from jyutvoice_tpu.pipeline.synthesize import OverLongBatchItems
+
+    real = synth.synthesize_batch_dispatch
+
+    def fake(items, **kw):
+        idx = [i for i, it in enumerate(items) if it["text"] == "佢"]
+        if idx:
+            raise OverLongBatchItems(
+                "an item needs 99999 mel frames, past the batch table", idx
+            )
+        return real(items, **kw)
+
+    monkeypatch.setattr(synth, "synthesize_batch_dispatch", fake)
+    with ServingEngine(
+        synth, max_batch=4, max_wait_ms=300.0, n_timesteps=2
+    ) as engine:
+        bad = engine.submit("佢", lang="yue", phone="keoi5")
+        good = engine.submit("你好", lang="yue", phone="nei5 hou2")
+        with pytest.raises(ValueError, match="mel frames"):
+            bad.result(timeout=600)
+        assert good.result(timeout=600).mel_frames > 0
+    assert engine.stats.errors == 1
+
+
+def test_streaming_lane_cancel_frees_slot(synth):
+    """Cancelling a stream (HTTP client disconnect) must free its slot for
+    a waiting stream and terminate the handle, instead of decoding the
+    whole remaining utterance into an abandoned queue."""
+    from jyutvoice_tpu.pipeline.server import StreamingLane
+
+    long_ph = " ".join(["keoi5 hai6 bin1 go3"] * 20)
+    with StreamingLane(synth, max_streams=1, chunk_frames=50,
+                       n_timesteps=2) as lane:
+        doomed = lane.submit("佢係邊個 " * 20, lang="yue", phone=long_ph)
+        it = iter(doomed)
+        next(it)  # admitted and producing
+        doomed.cancel()
+        # the single slot must free: a second stream completes normally
+        good = lane.submit("佢", lang="yue", phone="keoi5")
+        wav = np.concatenate(list(good))
+        assert np.isfinite(wav).all() and len(wav) > 0
+        # and the cancelled handle terminates (buffered chunks then DONE)
+        list(it)
+
+
 def test_engine_routes_long_singleton_via_synthesize_long(synth, monkeypatch):
     """A prompt-free request past the interactive text buckets must go
     through the one-pass long-form path (no 15000-frame cap, flash +
