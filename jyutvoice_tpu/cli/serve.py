@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--max-streams", type=int, default=4)
     ap.add_argument("--chunk-frames", type=int, default=100)
     ap.add_argument(
+        "--stream-prompt-frames", type=int, default=0,
+        help="prompt capacity of the streaming lane (a PROMPT_BUCKETS "
+        "value, e.g. 64/128): lets /tts/stream graft ref_audio_b64 cloning "
+        "prompts. 0 (default) = speaker-embedding-only voice matching on "
+        "streams; every tick pays the prompt-extended segment when set",
+    )
+    ap.add_argument(
         "--warmup",
         action="store_true",
         help="pre-compile the serving graphs before traffic: the common "
@@ -173,6 +180,7 @@ def main(argv=None) -> None:
         streaming=args.streaming,
         max_streams=args.max_streams,
         chunk_frames=args.chunk_frames,
+        stream_prompt_frames=args.stream_prompt_frames,
         verbose=args.verbose,
         prompt_extractor=extractor,
     )

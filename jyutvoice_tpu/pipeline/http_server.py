@@ -188,7 +188,16 @@ class _Handler(BaseHTTPRequestHandler):
             if ref_b64 is not None:
                 pf = self._extract_prompt(srv, ref_b64)
                 kwargs["spk_embed"] = pf.spk_embed
-                if pf.prompt_h is not None and self.path == "/tts":
+                # prompt grafting: /tts always; /tts/stream only when the
+                # lane was built with prompt capacity (otherwise degrade
+                # gracefully to speaker-embedding-only voice matching,
+                # the pre-capacity behavior)
+                graft = self.path == "/tts" or (
+                    self.path == "/tts/stream"
+                    and srv.tts_lane is not None
+                    and srv.tts_lane.prompt_frames > 0
+                )
+                if pf.prompt_h is not None and graft:
                     kwargs["prompt_feat"] = pf.prompt_feat
                     kwargs["prompt_h"] = pf.prompt_h
         except (ValueError, json.JSONDecodeError) as e:
@@ -334,6 +343,7 @@ class TTSServer:
         streaming: bool = False,
         max_streams: int = 4,
         chunk_frames: int = 100,
+        stream_prompt_frames: int = 0,
         request_timeout: float = 600.0,
         verbose: bool = False,
         prompt_extractor=None,
@@ -356,6 +366,11 @@ class TTSServer:
                 chunk_frames=chunk_frames,
                 n_timesteps=n_timesteps,
                 pcm16=True,
+                # >0 lets /tts/stream graft cloning prompts (not just the
+                # speaker embedding); every tick then pays the prompt-
+                # extended segment, so it's opt-in (serve
+                # --stream-prompt-frames)
+                prompt_frames=stream_prompt_frames,
             )
             if streaming
             else None

@@ -453,9 +453,15 @@ class StreamingLane:
     paying N tunnel RTTs per audio tick.
 
     submit() returns an iterable of 24 kHz float32 wav chunks. Sessions
-    beyond `max_streams` queue until a slot frees. Prompts are not yet
-    supported on this lane (the slot graph is compiled for prompt_frames=0);
-    use Synthesizer.synthesize_streaming for cloning streams.
+    beyond `max_streams` queue until a slot frees.
+
+    Cloning prompts: build the lane with `prompt_frames` > 0 (a
+    PROMPT_BUCKETS value) and pass prompt_feat/prompt_h to submit().
+    Prompt-free sessions share the same compiled slot graph (their prompt
+    region is masked), so cloning and plain streams co-tick — but every
+    tick then computes the prompt-extended segment, so a prompt-capable
+    lane costs ~(p + overlap + chunk)/(overlap + chunk) more per tick;
+    keep prompt_frames=0 when cloning streams aren't served.
     """
 
     def __init__(
@@ -465,17 +471,20 @@ class StreamingLane:
         chunk_frames: int = 100,
         n_timesteps: int = 10,
         pcm16: bool = False,
+        prompt_frames: int = 0,
     ):
         from jyutvoice_tpu.pipeline.streaming import MultiStreamSynthesizer
 
         self.synth = synthesizer
         self.chunk_frames = chunk_frames
         self.n_timesteps = n_timesteps
+        self.prompt_frames = prompt_frames
         self._hop = synthesizer.cfg.audio.hop_length  # samples per mel frame
         self._ms = MultiStreamSynthesizer(
             synthesizer.cfg, synthesizer.params_tts, synthesizer.params_hift,
             max_sessions=max_streams, chunk_frames=chunk_frames,
             n_timesteps=n_timesteps, pcm16=pcm16,
+            prompt_frames=prompt_frames,
         )
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self._handles = {}  # sid -> (_StreamHandle, remaining_samples)
@@ -493,14 +502,35 @@ class StreamingLane:
         phone: Optional[str] = None,
         spk_embed: Optional[np.ndarray] = None,
         length_scale: float = 1.0,
+        prompt_feat: Optional[np.ndarray] = None,
+        prompt_h: Optional[np.ndarray] = None,
     ) -> _StreamHandle:
+        # validate the prompt HERE (caller's thread): a too-long prompt
+        # would otherwise be silently truncated at open() and a prompt on
+        # a no-capacity lane silently ignored
+        if prompt_feat is not None:
+            if self.prompt_frames == 0:
+                raise ValueError(
+                    "this streaming lane was built without prompt capacity"
+                    " (prompt_frames=0); rebuild it with prompt_frames set"
+                    " to a PROMPT_BUCKETS value to stream cloning requests"
+                )
+            if prompt_h is None:
+                raise ValueError("prompt_feat requires prompt_h")
+            if prompt_feat.shape[0] > self.prompt_frames:
+                raise ValueError(
+                    f"cloning prompt is {prompt_feat.shape[0]} frames, past"
+                    f" this lane's {self.prompt_frames}-frame capacity —"
+                    " trim the reference audio or raise prompt_frames"
+                )
         handle = _StreamHandle()
         with self._submit_lock:
             if self._stop.is_set():
                 raise RuntimeError("streaming lane is closed")
             self._q.put(
                 (handle, dict(text=text, lang=lang, phone=phone,
-                              spk_embed=spk_embed, length_scale=length_scale))
+                              spk_embed=spk_embed, length_scale=length_scale,
+                              prompt_feat=prompt_feat, prompt_h=prompt_h))
             )
         return handle
 
@@ -550,7 +580,9 @@ class StreamingLane:
                     chunk_frames=self.chunk_frames,
                     length_scale=req["length_scale"],
                 )
-                sid = self._ms.open(mu_y, c)
+                sid = self._ms.open(
+                    mu_y, c, req.get("prompt_feat"), req.get("prompt_h")
+                )
                 self._handles[sid] = (handle, y_len * self._hop)
             except Exception as e:  # noqa: BLE001 — per-request isolation
                 handle._q.put(e)

@@ -370,9 +370,12 @@ class StreamingSynthesizer:
         # p is the prompt-bucket CAPACITY; a shorter prompt right-aligns
         # against the generated frames (rows [p - p_valid, p)) and the
         # leading rows are masked out in the core (p_start), so one compiled
-        # graph serves every prompt length in the bucket
-        if p:
-            assert prompt_feat is not None and prompt_h is not None
+        # graph serves every prompt length in the bucket — including NO
+        # prompt at all (p_valid=0, whole prompt region masked): a
+        # prompt-capable multi-stream lane mixes cloning and plain sessions
+        # in one graph
+        if p and prompt_feat is not None:
+            assert prompt_h is not None
             p_valid = min(prompt_feat.shape[0], p)
         else:
             p_valid = 0
@@ -543,6 +546,11 @@ class MultiStreamSynthesizer:
     ) -> int:
         """Claim a free slot for a new utterance; returns the session id."""
         t_total = mu_y.shape[0]
+        if prompt_feat is not None and self.p_len == 0:
+            raise ValueError(
+                "this MultiStreamSynthesizer was built with prompt_frames=0"
+                " — rebuild with prompt capacity to open cloning sessions"
+            )
         if t_total == 0:
             # a zero-length session would never be dispatched (pos 0 >=
             # t_total 0) nor delivered, leaking the slot and making
@@ -555,9 +563,11 @@ class MultiStreamSynthesizer:
                 f"all {self.S} streaming slots busy; tick() until one frees"
             ) from None
         p = self.p_len
-        # partially-filled prompt bucket: right-align (see StreamingSynthesizer.stream)
-        if p:
-            assert prompt_feat is not None and prompt_h is not None
+        # partially-filled prompt bucket: right-align; prompt-FREE sessions
+        # ride the same prompt-capable graph with the whole prompt region
+        # masked (see StreamingSynthesizer.stream)
+        if p and prompt_feat is not None:
+            assert prompt_h is not None
             p_valid = min(prompt_feat.shape[0], p)
         else:
             p_valid = 0

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--pcm16", action="store_true",
                     help="on-device int16 wav (halves readback bytes)")
+    ap.add_argument("--prompt-frames", type=int, default=0,
+                    help="compile the multi-stream lane with cloning-prompt "
+                    "capacity (a PROMPT_BUCKETS value); half the sessions "
+                    "then carry a real prompt, half stream prompt-free — "
+                    "measures the per-tick cost of a prompt-capable graph")
     args = ap.parse_args()
 
     cfg = JyutVoiceConfig()
@@ -65,19 +70,32 @@ def main():
     seq_xrt = n * audio_s_each / seq_s
 
     # -- multi-stream lock-step --------------------------------------------
+    p = args.prompt_frames
     ms = MultiStreamSynthesizer(
         cfg, params, params_hift, max_sessions=n, chunk_frames=args.chunk,
-        n_timesteps=args.steps, pcm16=args.pcm16,
+        n_timesteps=args.steps, pcm16=args.pcm16, prompt_frames=p,
     )
-    _ = ms.run_all([(mus[0][: args.chunk * 2], spks[0])])  # warm compile
+    if p:
+        # half cloning / half prompt-free: both ride the one compiled graph
+        pf = rng.standard_normal((p, 80)).astype(np.float32)
+        ph = rng.standard_normal((p, 80)).astype(np.float32)
+        reqs = [
+            (m, s, pf, ph) if i % 2 == 0 else (m, s)
+            for i, (m, s) in enumerate(zip(mus, spks))
+        ]
+    else:
+        reqs = [(m, s) for m, s in zip(mus, spks)]
+    # warm compile (a prompt-free session compiles the same graph)
+    _ = ms.run_all([(mus[0][: args.chunk * 2], spks[0])])
     t0 = time.perf_counter()
-    out = ms.run_all([(m, s) for m, s in zip(mus, spks)])
+    out = ms.run_all(reqs)
     multi_s = time.perf_counter() - t0
     assert len(out) == n
     multi_xrt = n * audio_s_each / multi_s
 
     print(json.dumps({
         "pcm16": args.pcm16,
+        "prompt_frames": p,
         "streams": n,
         "chunk_frames": args.chunk,
         "frames_per_stream": args.frames,

@@ -250,6 +250,51 @@ def test_ref_audio_cloning_path():
         srv.close()
 
 
+def test_stream_endpoint_grafts_cloning_prompt():
+    """/tts/stream with ref_audio_b64 on a prompt-capable lane grafts the
+    prompt (audio differs from the promptless stream); without capacity it
+    degrades to speaker-embedding-only (still 200)."""
+    import base64
+
+    rng = np.random.default_rng(7)
+
+    class FakeExtractor:
+        def __call__(self, audio, sr):
+            return type("PF", (), {
+                "spk_embed": np.zeros(
+                    TINY.tts.spk_embed_dim, np.float32
+                ),
+                "prompt_feat": rng0_pf,
+                "prompt_h": rng0_ph,
+            })()
+
+    rng0_pf = rng.standard_normal((24, 80)).astype(np.float32)
+    rng0_ph = rng.standard_normal((24, 80)).astype(np.float32)
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    synth = Synthesizer(TINY, params, params_hift)
+    srv = TTSServer(
+        synth, port=0, max_batch=2, max_wait_ms=5.0, n_timesteps=2,
+        streaming=True, max_streams=2, chunk_frames=50,
+        stream_prompt_frames=64, prompt_extractor=FakeExtractor(),
+    )
+    try:
+        ref = (rng.standard_normal(2400) * 0.1).astype(np.float32)
+        b64 = base64.b64encode(wav_bytes(ref, 24000)).decode()
+        plain_body = {"text": TEXT, "lang": "yue", "phone": PHONE}
+        with _post(srv, "/tts/stream", plain_body) as r:
+            plain = r.read()
+        with _post(srv, "/tts/stream", {**plain_body, "ref_audio_b64": b64}) as r:
+            cloned = r.read()
+        # same utterance length, different audio content (the graft
+        # conditioned the decode)
+        assert len(plain) == len(cloned)
+        assert plain[44:] != cloned[44:]
+    finally:
+        srv.close()
+
+
 def test_stream_abort_closes_without_terminator(server, monkeypatch):
     """A mid-stream server failure must abort the chunked transfer (no
     terminating chunk), not deliver truncated audio as a complete 200."""

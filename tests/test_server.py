@@ -258,6 +258,41 @@ def test_engine_overlong_item_fails_only_culprit(synth, monkeypatch):
     assert engine.stats.errors == 1
 
 
+def test_streaming_lane_cloning_prompt(synth):
+    """A prompt-capable lane streams a cloning request identically to
+    synthesize_streaming with the same prompt (which buckets 24->64), with
+    a prompt-free stream co-ticking on the same graph; prompts on a
+    no-capacity lane and over-capacity prompts fail loudly at submit."""
+    from jyutvoice_tpu.pipeline.server import StreamingLane
+
+    rng = np.random.default_rng(3)
+    pf = rng.standard_normal((24, 80)).astype(np.float32)
+    ph = rng.standard_normal((24, 80)).astype(np.float32)
+    want = np.concatenate(list(synth.synthesize_streaming(
+        "佢", lang="yue", phone="keoi5", chunk_frames=50, n_timesteps=2,
+        prompt_feat=pf, prompt_h=ph,
+    )))
+    with StreamingLane(synth, max_streams=2, chunk_frames=50,
+                       n_timesteps=2, prompt_frames=64) as lane:
+        h = lane.submit("佢", lang="yue", phone="keoi5",
+                        prompt_feat=pf, prompt_h=ph)
+        h2 = lane.submit("好", lang="yue", phone="hou2")  # prompt-free
+        got = np.concatenate(list(h))
+        free = np.concatenate(list(h2))
+        with pytest.raises(ValueError, match="capacity"):
+            lane.submit("佢", lang="yue", phone="keoi5",
+                        prompt_feat=np.zeros((65, 80), np.float32),
+                        prompt_h=np.zeros((65, 80), np.float32))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert np.isfinite(free).all() and len(free) > 0
+
+    with StreamingLane(synth, max_streams=1, chunk_frames=50,
+                       n_timesteps=2) as plain:
+        with pytest.raises(ValueError, match="prompt capacity"):
+            plain.submit("佢", lang="yue", phone="keoi5",
+                         prompt_feat=pf, prompt_h=ph)
+
+
 def test_streaming_lane_cancel_frees_slot(synth):
     """Cancelling a stream (HTTP client disconnect) must free its slot for
     a waiting stream and terminate the handle, instead of decoding the

@@ -202,6 +202,52 @@ def test_stream_content_matches_nonstreamed(setup):
     assert corr > 0.95, corr
 
 
+def test_multistream_mixed_prompt_sessions(setup):
+    """Prompt-capable multi-stream graph: a cloning session and a
+    prompt-FREE session co-tick in one dispatch, and each matches its
+    single-stream output on the same prompt-capable graph (the prompt-free
+    session's whole prompt region is masked via p_start)."""
+    from jyutvoice_tpu.pipeline.streaming import MultiStreamSynthesizer
+
+    params, params_hift = setup
+    rng = np.random.default_rng(9)
+    p_cap = 64
+    pf = rng.standard_normal((24, 80)).astype(np.float32)  # shorter than cap
+    ph = rng.standard_normal((24, 80)).astype(np.float32)
+    mu1 = rng.standard_normal((130, 80)).astype(np.float32)
+    mu2 = rng.standard_normal((80, 80)).astype(np.float32)
+    s1 = rng.standard_normal(80).astype(np.float32)
+    s2 = rng.standard_normal(80).astype(np.float32)
+
+    single = StreamingSynthesizer(
+        TINY, params, params_hift, chunk_frames=50, prompt_frames=p_cap
+    )
+    want1 = np.concatenate(list(single.stream(mu1, s1, pf, ph)))
+    want2 = np.concatenate(list(single.stream(mu2, s2)))  # prompt-free
+
+    ms = MultiStreamSynthesizer(
+        TINY, params, params_hift, max_sessions=2, chunk_frames=50,
+        prompt_frames=p_cap,
+    )
+    got = ms.run_all([(mu1, s1, pf, ph), (mu2, s2)])
+    np.testing.assert_allclose(got[0], want1, atol=1e-5)
+    np.testing.assert_allclose(got[1], want2, atol=1e-5)
+
+
+def test_multistream_prompt_without_capacity_is_loud(setup):
+    from jyutvoice_tpu.pipeline.streaming import MultiStreamSynthesizer
+
+    params, params_hift = setup
+    ms = MultiStreamSynthesizer(
+        TINY, params, params_hift, max_sessions=2, chunk_frames=50
+    )
+    with pytest.raises(ValueError, match="prompt_frames=0"):
+        ms.open(
+            np.zeros((10, 80), np.float32), np.zeros(80, np.float32),
+            np.zeros((8, 80), np.float32), np.zeros((8, 80), np.float32),
+        )
+
+
 def test_multistream_matches_single(setup):
     """MultiStreamSynthesizer: N lock-step sessions in one dispatch per
     tick produce EXACTLY the single-stream waveforms, including sessions of
