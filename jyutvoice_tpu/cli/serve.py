@@ -82,9 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--warmup-long",
         action="store_true",
         help="also pre-compile the long-form family (synthesize_long: "
-        "text buckets 1024/4096/8192, mel 4096/8192/12288 + windowed "
-        "vocoder) — a cold first multi-minute request pays ~90 s of "
-        "compiles otherwise",
+        "text buckets 1024-8192, every 512-aligned mel bucket 2048-12288 "
+        "+ windowed vocoder; Synthesizer.warmup_long defaults) — a cold "
+        "first multi-minute request pays ~90 s of compiles otherwise",
     )
     ap.add_argument("--verbose", action="store_true")
     return ap

@@ -243,7 +243,11 @@ class _Handler(BaseHTTPRequestHandler):
                 fut = Future()
                 srv.tts_prompt_inflight[key] = fut
         if not owner:
-            return fut.result(timeout=120.0)
+            # same budget as a synthesis request: the owner's extraction can
+            # legitimately take minutes on a cold process (first-conv
+            # autotune), so a short fixed timeout would 500 the waiters
+            # moments before the cache fills
+            return fut.result(timeout=srv.tts_request_timeout)
         try:
             audio, sr = decode_wav(data)
             pf = srv.tts_prompt_extractor(audio, sr)

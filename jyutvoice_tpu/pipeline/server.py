@@ -247,7 +247,10 @@ class ServingEngine:
         """Dispatch one subgroup, isolating per-request failures: culprit
         requests (over-long items, noise-cap prompt items) are failed
         individually and the innocent rest is re-dispatched."""
-        from jyutvoice_tpu.pipeline.synthesize import OverLongBatchItems
+        from jyutvoice_tpu.pipeline.synthesize import (
+            NoiseBufferExceeded,
+            OverLongBatchItems,
+        )
 
         attempt = list(sub)
         while attempt:
@@ -274,7 +277,7 @@ class ServingEngine:
                 self._fail(culprits, e)
                 failed = {id(r) for r in culprits}
                 attempt = [r for r in attempt if id(r) not in failed]
-            except ValueError as e:
+            except NoiseBufferExceeded as e:
                 # prompt bucket + mel bucket past the noise buffer is a
                 # GROUP property (mel bucket = the longest item): fail only
                 # the prompt-bearing culprits and retry the rest, instead
@@ -283,13 +286,12 @@ class ServingEngine:
                     r for r in attempt
                     if r.item.get("prompt_feat") is not None
                 ]
-                if "noise buffer" in str(e) and culprits:
-                    self._fail(culprits, e)
-                    failed = {id(r) for r in culprits}
-                    attempt = [r for r in attempt if id(r) not in failed]
-                    continue
-                self._fail(attempt, e)
-                return
+                if not culprits:
+                    self._fail(attempt, e)
+                    return
+                self._fail(culprits, e)
+                failed = {id(r) for r in culprits}
+                attempt = [r for r in attempt if id(r) not in failed]
             except Exception as e:  # noqa: BLE001
                 self._fail(attempt, e)
                 return
@@ -360,25 +362,6 @@ class ServingEngine:
             long_ids = {id(r) for r in long_reqs}
             group = [r for r in group if id(r) not in long_ids]
             finals, ok_group = [], []
-            for req in long_reqs:
-                try:
-                    res = self.synth.synthesize_long(
-                        req.item["text"],
-                        lang=req.item.get("lang", "yue"),
-                        phone=req.item.get("phone"),
-                        spk_embed=req.item.get("spk_embed"),
-                        n_timesteps=self.n_timesteps,
-                        length_scale=self.length_scale,
-                        pcm16=self.pcm16,
-                        dequantize=False,
-                        return_mel=self.return_mel,
-                        prepped=req.item["_prepped"],
-                    )
-                    finals.append(lambda r=res: [r])
-                    ok_group.append(req)
-                    self.stats.dispatches += 1
-                except Exception as e:  # noqa: BLE001
-                    self._fail([req], e)
             if not group:
                 subgroups = []
             else:
@@ -396,8 +379,36 @@ class ServingEngine:
                     for part in parts
                     for i in range(0, len(part), sd)
                 ]
+            # this group's short work is ASYNC-dispatched first (it queues
+            # behind nothing and overlaps any long solve below), then the
+            # PREVIOUS group's already-computed results are released — only
+            # then do the synchronous long solves run, each resolving its
+            # own request the moment its readback lands (parking a realized
+            # long result in `pending` would delay it until the next
+            # collected group)
             for sub in subgroups:
                 self._dispatch_sub(sub, finals, ok_group)
+            if pending is not None:
+                self._finalize(*pending)
+                pending = None
+            for req in long_reqs:
+                try:
+                    res = self.synth.synthesize_long(
+                        req.item["text"],
+                        lang=req.item.get("lang", "yue"),
+                        phone=req.item.get("phone"),
+                        spk_embed=req.item.get("spk_embed"),
+                        n_timesteps=self.n_timesteps,
+                        length_scale=self.length_scale,
+                        pcm16=self.pcm16,
+                        dequantize=False,
+                        return_mel=self.return_mel,
+                        prepped=req.item["_prepped"],
+                    )
+                    self.stats.dispatches += 1
+                    self._finalize([req], lambda r=res: [r])
+                except Exception as e:  # noqa: BLE001
+                    self._fail([req], e)
             if finals:
 
                 def finalize(fins=tuple(finals)):
@@ -408,8 +419,6 @@ class ServingEngine:
 
             else:
                 finalize = None
-            if pending is not None:
-                self._finalize(*pending)
             pending = (ok_group, finalize) if finalize is not None else None
         if pending is not None:
             self._finalize(*pending)
@@ -577,7 +586,6 @@ class StreamingLane:
                 mu_y, c, y_len = self.synth.prepare_stream(
                     req["text"], lang=req["lang"], phone=req["phone"],
                     spk_embed=req["spk_embed"],
-                    chunk_frames=self.chunk_frames,
                     length_scale=req["length_scale"],
                 )
                 sid = self._ms.open(

@@ -62,7 +62,7 @@ class StreamingTokenEncoder:
         self.state = init_stream_state(self.cfg, self.t_max, chunk=self.chunk)
         self._buf: list = []  # pending tokens not yet encoded
         self._consumed = 0
-        self._final = False  # set once a partial chunk has been encoded
+        self._final = False  # set by flush() or a partial-chunk encode
 
     @staticmethod
     def _raw_step(params, cfg, tokens, n, ctx, n_ctx, state):
@@ -136,6 +136,10 @@ class StreamingTokenEncoder:
             ctx = np.asarray(rest, np.int32) if rest else np.zeros(0, np.int32)
             outs.append(self._encode(toks, n, ctx, len(rest)))
             self._buf = self._buf[n:]
+        # unconditional (not just when the tail chunk was partial): a
+        # chunk-aligned tail still encodes with zero lookahead, so a push()
+        # after flush() would silently contradict the frames already emitted
+        self._final = True
         if outs:
             return np.concatenate(outs, axis=0)
         return np.zeros((0, self.cfg.proj_size), np.float32)
@@ -149,12 +153,102 @@ def hann_crossfade_window(overlap: int) -> np.ndarray:
     )
 
 
-@dataclasses.dataclass
-class StreamState:
-    """Host-side z/mu overlap cache (the mel/source carries live on-device)."""
+def _init_session(
+    p: int,
+    mu_y: np.ndarray,
+    prompt_feat: Optional[np.ndarray],
+    prompt_h: Optional[np.ndarray],
+) -> dict:
+    """Host-side state for ONE streaming session — the single source of
+    truth for the prompt right-alignment, absolute-position noise, and z/mu
+    overlap-cache seeding rules, shared by StreamingSynthesizer.stream and
+    MultiStreamSynthesizer.open so the two paths cannot drift.
 
-    z_cache: np.ndarray  # (1, P+OVERLAP, 80)
-    mu_cache: np.ndarray  # (1, P+OVERLAP, 80)
+    p is the prompt-bucket CAPACITY; a shorter prompt right-aligns against
+    the generated frames (rows [p - p_valid, p)) and the leading rows are
+    masked out in the core (p_start), so one compiled graph serves every
+    prompt length in the bucket — including NO prompt at all (p_valid=0,
+    whole prompt region masked): a prompt-capable multi-stream lane mixes
+    cloning and plain sessions in one graph.
+
+    Noise is seed-0 indexed by ABSOLUTE frame position (prompt then mel),
+    matching the non-streaming path (reference flow_matching.py:353-354:
+    rand_noise[:, :, :T] — position-indexed, not chunk-relative); beyond
+    the reference's 15000-frame cap a deterministic PRNG stream extends it,
+    so streaming has no 300 s limit.
+    """
+    t_total = mu_y.shape[0]
+    if p and prompt_feat is not None:
+        assert prompt_h is not None
+        p_valid = min(prompt_feat.shape[0], p)
+    else:
+        p_valid = 0
+    p_start = p - p_valid
+    noise_full = rand_noise_extended(p_valid + t_total)[0]  # (p_v + T, 80)
+    # host-side z/mu overlap cache (assembled into each segment); the
+    # mel/source carries (held, voc tail, HiFT source) live on-device
+    z_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
+    mu_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
+    if p_valid:
+        z_cache[0, p_start:p] = noise_full[:p_valid]
+        mu_cache[0, p_start:p] = prompt_h[:p_valid]
+    return {
+        "mu_y": np.asarray(mu_y, np.float32),
+        "noise": noise_full,
+        "z_cache": z_cache,
+        "mu_cache": mu_cache,
+        "prompt_feat": prompt_feat,
+        "p_valid": p_valid,
+        "p_start": p_start,
+        "pos": 0,
+        "has_held": False,
+    }
+
+
+def _fill_segment(st: dict, p: int, chunk: int, mu_row, z_row, cond_row):
+    """Assemble one chunk's (seg, 80) mu/z/cond rows from session state and
+    decide the emit plan. Returns (n_new, ov, n_valid, l_emit, next_held,
+    is_last). Layout: [prompt capacity p | OVERLAP re-generated | chunk
+    fresh]; fresh frames draw noise at their ABSOLUTE position."""
+    t_total = st["mu_y"].shape[0]
+    pos = st["pos"]
+    n_new = min(chunk, t_total - pos)
+    ov = OVERLAP if st["has_held"] else 0
+    p_valid, p_start = st["p_valid"], st["p_start"]
+    if p_valid:
+        mu_row[p_start:p] = st["mu_cache"][0, p_start:p]
+        z_row[p_start:p] = st["z_cache"][0, p_start:p]
+        cond_row[p_start:p] = st["prompt_feat"][:p_valid]
+    if ov:
+        # re-generate positions [pos-OVERLAP, pos) from cached z/mu; the
+        # core crossfades them against the held copy (reference
+        # fade_in_out, utils/common.py:181-191)
+        mu_row[p : p + ov] = st["mu_cache"][0, p:]
+        z_row[p : p + ov] = st["z_cache"][0, p:]
+    mu_row[p + ov : p + ov + n_new] = st["mu_y"][pos : pos + n_new]
+    z_row[p + ov : p + ov + n_new] = st["noise"][
+        p_valid + pos : p_valid + pos + n_new
+    ]
+    n_valid = p + ov + n_new
+    is_last = pos + n_new >= t_total
+    if is_last or ov + n_new <= OVERLAP:
+        l_emit, next_held = ov + n_new, False
+    else:
+        l_emit, next_held = ov + n_new - OVERLAP, True
+    return n_new, ov, n_valid, l_emit, next_held, is_last
+
+
+def _advance_session(
+    st: dict, p: int, mu_row, z_row, n_valid: int, n_new: int,
+    next_held: bool,
+) -> None:
+    """Post-dispatch host update: cache the segment's LAST OVERLAP valid
+    frames of z/mu for the next chunk's re-generation, advance position."""
+    tail_lo = max(n_valid - OVERLAP, 0)
+    st["z_cache"][0, p:] = z_row[tail_lo : tail_lo + OVERLAP]
+    st["mu_cache"][0, p:] = mu_row[tail_lo : tail_lo + OVERLAP]
+    st["pos"] += n_new
+    st["has_held"] = next_held
 
 
 class StreamingSynthesizer:
@@ -363,96 +457,41 @@ class StreamingSynthesizer:
     ) -> Iterator[np.ndarray]:
         """Yield 24 kHz waveform chunks of `chunk_frames*480` samples
         (or (wav, mel) pairs with emit_mel=True)."""
-        t_total = mu_y.shape[0]
         p = self.p_len
         step = self._get_step_fn()
-
-        # p is the prompt-bucket CAPACITY; a shorter prompt right-aligns
-        # against the generated frames (rows [p - p_valid, p)) and the
-        # leading rows are masked out in the core (p_start), so one compiled
-        # graph serves every prompt length in the bucket — including NO
-        # prompt at all (p_valid=0, whole prompt region masked): a
-        # prompt-capable multi-stream lane mixes cloning and plain sessions
-        # in one graph
-        if p and prompt_feat is not None:
-            assert prompt_h is not None
-            p_valid = min(prompt_feat.shape[0], p)
-        else:
-            p_valid = 0
-        p_start = p - p_valid
-        # seed-0 noise indexed by ABSOLUTE frame position (prompt then mel),
-        # matching the non-streaming path (reference flow_matching.py:353-354:
-        # rand_noise[:, :, :T] — position-indexed, not chunk-relative);
-        # beyond the reference's 15000-frame cap a deterministic PRNG
-        # stream extends it, so streaming has no 300 s limit
-        noise_full = rand_noise_extended(p_valid + t_total)[0]  # (p_v + T, 80)
-
-        # host-side z/mu overlap cache (assembled into each segment); the
-        # mel/source carries (held, voc tail, HiFT source) live on-device
-        state = StreamState(
-            z_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
-            mu_cache=np.zeros((1, p + OVERLAP, 80), np.float32),
-        )
-        if p_valid:
-            state.z_cache[0, p_start:p] = noise_full[:p_valid]
-            state.mu_cache[0, p_start:p] = prompt_h[:p_valid]
+        # session state + segment assembly rules shared with the
+        # multi-stream path (_init_session/_fill_segment/_advance_session)
+        st = _init_session(p, mu_y, prompt_feat, prompt_h)
 
         spk_dev = jnp.asarray(spk[None])
         held = jnp.zeros((OVERLAP, 80), jnp.float32)  # device-side carry of
         # the last OVERLAP decoded frames, not yet emitted: the next chunk
         # RE-generates these positions from the cached z/mu and the two
         # versions are crossfaded (reference fade_in_out, utils/common.py:181-191)
-        has_held = False
         voc_tail = jnp.zeros((OVERLAP, 80), jnp.float32)
         src_cache = jnp.zeros((1, OVERLAP * 480, 1), jnp.float32)
-        pos = 0  # next fresh mel position
-        while pos < t_total:
-            n_new = min(self.chunk, t_total - pos)
-            ov = OVERLAP if has_held else 0
-            seg = p + OVERLAP + self.chunk
+        seg = p + OVERLAP + self.chunk
+        while st["pos"] < st["mu_y"].shape[0]:
             mu_seg = np.zeros((1, seg, 80), np.float32)
             z_seg = np.zeros((1, seg, 80), np.float32)
             cond = np.zeros((1, seg, 80), np.float32)
-            if p_valid:
-                mu_seg[0, p_start:p] = state.mu_cache[0, p_start:p]
-                z_seg[0, p_start:p] = state.z_cache[0, p_start:p]
-                cond[0, p_start:p] = prompt_feat[:p_valid]
-            if ov:
-                # re-generate positions [pos-OVERLAP, pos) from cached z/mu
-                mu_seg[0, p : p + ov] = state.mu_cache[0, p:]
-                z_seg[0, p : p + ov] = state.z_cache[0, p:]
-            mu_seg[0, p + ov : p + ov + n_new] = mu_y[pos : pos + n_new]
-            # fresh frames draw noise at their ABSOLUTE position
-            z_seg[0, p + ov : p + ov + n_new] = noise_full[
-                p_valid + pos : p_valid + pos + n_new
-            ]
-            n_valid = p + ov + n_new
-
-            is_last = pos + n_new >= t_total
-            if is_last or ov + n_new <= OVERLAP:
-                l_emit = ov + n_new
-                next_held = False
-            else:
-                l_emit = ov + n_new - OVERLAP
-                next_held = True
+            n_new, ov, n_valid, l_emit, next_held, _is_last = _fill_segment(
+                st, p, self.chunk, mu_seg[0], z_seg[0], cond[0]
+            )
 
             wav, mel_out, held, voc_tail, src_cache = step(
                 self.params_tts, self.params_hift,
                 jnp.asarray(z_seg), jnp.asarray(mu_seg), spk_dev,
                 jnp.asarray(cond),
                 jnp.asarray(n_valid, jnp.int32),
-                jnp.asarray(p_start, jnp.int32),
+                jnp.asarray(st["p_start"], jnp.int32),
                 jnp.asarray(ov, jnp.int32),
                 jnp.asarray(n_new, jnp.int32),
                 jnp.asarray(l_emit, jnp.int32),
                 held, voc_tail, src_cache,
             )
-            has_held = next_held
-
-            # update the z/mu overlap cache with the LAST OVERLAP valid frames
-            tail_lo = max(n_valid - OVERLAP, 0)
-            state.z_cache[0, p:] = z_seg[0, tail_lo : tail_lo + OVERLAP]
-            state.mu_cache[0, p:] = mu_seg[0, tail_lo : tail_lo + OVERLAP]
+            _advance_session(st, p, mu_seg[0], z_seg[0], n_valid, n_new,
+                             next_held)
 
             if l_emit > 0:
                 # the single host readback per chunk (core already sliced
@@ -463,8 +502,6 @@ class StreamingSynthesizer:
                     yield wav_chunk, np.asarray(mel_out)[:l_emit]
                 else:
                     yield wav_chunk
-
-            pos += n_new
 
 
 class MultiStreamSynthesizer:
@@ -562,33 +599,11 @@ class MultiStreamSynthesizer:
             raise RuntimeError(
                 f"all {self.S} streaming slots busy; tick() until one frees"
             ) from None
-        p = self.p_len
-        # partially-filled prompt bucket: right-align; prompt-FREE sessions
-        # ride the same prompt-capable graph with the whole prompt region
-        # masked (see StreamingSynthesizer.stream)
-        if p and prompt_feat is not None:
-            assert prompt_h is not None
-            p_valid = min(prompt_feat.shape[0], p)
-        else:
-            p_valid = 0
-        p_start = p - p_valid
-        noise_full = rand_noise_extended(p_valid + t_total)[0]
-        z_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
-        mu_cache = np.zeros((1, p + OVERLAP, 80), np.float32)
-        if p_valid:
-            z_cache[0, p_start:p] = noise_full[:p_valid]
-            mu_cache[0, p_start:p] = prompt_h[:p_valid]
-        self._sessions[sid] = {
-            "mu_y": np.asarray(mu_y, np.float32),
-            "noise": noise_full,
-            "z_cache": z_cache,
-            "mu_cache": mu_cache,
-            "prompt_feat": prompt_feat,
-            "p_valid": p_valid,
-            "p_start": p_start,
-            "pos": 0,
-            "has_held": False,
-        }
+        # shared session-init rules (prompt right-alignment, absolute-
+        # position noise, cache seeding): _init_session
+        self._sessions[sid] = _init_session(
+            self.p_len, mu_y, prompt_feat, prompt_h
+        )
         self._spk[sid] = spk
         self._held = self._held.at[sid].set(0.0)
         self._voc_tail = self._voc_tail.at[sid].set(0.0)
@@ -628,31 +643,14 @@ class MultiStreamSynthesizer:
         for sid, st in enumerate(self._sessions):
             if st is None or st["pos"] >= st["mu_y"].shape[0]:
                 continue  # free, or dispatched fully (delivery pending)
-            t_total = st["mu_y"].shape[0]
-            pos = st["pos"]
-            n_new = min(self.chunk, t_total - pos)
-            ov = OVERLAP if st["has_held"] else 0
-            p_valid, p_start = st["p_valid"], st["p_start"]
-            if p_valid:
-                mu[sid, p_start:p] = st["mu_cache"][0, p_start:p]
-                z[sid, p_start:p] = st["z_cache"][0, p_start:p]
-                cond[sid, p_start:p] = st["prompt_feat"][:p_valid]
-            if ov:
-                mu[sid, p : p + ov] = st["mu_cache"][0, p:]
-                z[sid, p : p + ov] = st["z_cache"][0, p:]
-            mu[sid, p + ov : p + ov + n_new] = st["mu_y"][pos : pos + n_new]
-            z[sid, p + ov : p + ov + n_new] = st["noise"][
-                p_valid + pos : p_valid + pos + n_new
-            ]
-            n_valid[sid] = p + ov + n_new
-            p_start_arr[sid] = p_start
+            # shared per-chunk assembly + emit plan: _fill_segment
+            n_new, ov, nv, l_emit, next_held, is_last = _fill_segment(
+                st, p, self.chunk, mu[sid], z[sid], cond[sid]
+            )
+            n_valid[sid] = nv
+            p_start_arr[sid] = st["p_start"]
             ov_arr[sid] = ov
             n_new_arr[sid] = n_new
-            is_last = pos + n_new >= t_total
-            if is_last or ov + n_new <= OVERLAP:
-                l_emit, next_held = ov + n_new, False
-            else:
-                l_emit, next_held = ov + n_new - OVERLAP, True
             l_emit_arr[sid] = l_emit
             plan[sid] = (n_new, l_emit, next_held, is_last)
 
@@ -672,12 +670,8 @@ class MultiStreamSynthesizer:
         # the next dispatch depends on them; only the wav readback waits
         for sid, (n_new, _l_emit, next_held, _is_last) in plan.items():
             st = self._sessions[sid]
-            nv = int(n_valid[sid])
-            tail_lo = max(nv - OVERLAP, 0)
-            st["z_cache"][0, p:] = z[sid, tail_lo : tail_lo + OVERLAP]
-            st["mu_cache"][0, p:] = mu[sid, tail_lo : tail_lo + OVERLAP]
-            st["pos"] += n_new
-            st["has_held"] = next_held
+            _advance_session(st, p, mu[sid], z[sid], int(n_valid[sid]),
+                             n_new, next_held)
         return plan, wav
 
     def close(self, sid: int) -> None:

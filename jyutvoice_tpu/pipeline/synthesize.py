@@ -53,6 +53,14 @@ class OverLongBatchItems(ValueError):
         self.indices = tuple(indices)
 
 
+class NoiseBufferExceeded(ValueError):
+    """Raised by synthesize_batch_dispatch when the batch's prompt bucket +
+    mel bucket exceed the deterministic noise buffer. A GROUP property (the
+    mel bucket comes from the longest co-batched item), so a server catches
+    this TYPE to fail only the prompt-bearing culprits and retry the rest —
+    never match on the message text."""
+
+
 @dataclasses.dataclass
 class SynthesisResult:
     wav: np.ndarray  # (num_samples,) float32 at 24 kHz
@@ -406,17 +414,15 @@ class Synthesizer:
         lang: str = "yue",
         phone: Optional[str] = None,
         spk_embed: Optional[np.ndarray] = None,
-        chunk_frames: int = 100,
         length_scale: float = 1.0,
         prepped=None,
     ):
-        """Text half for streaming: encoder + durations + expand, one
-        bucketed-jit dispatch. Returns (mu_y (T,80), c (80,), y_len) —
-        the inputs a Streaming/MultiStream synthesizer session consumes.
-        prepped= reuses a cached prepare_text result (skips g2p)."""
+        """Text half for streaming: encoder + durations in one bucketed-jit
+        dispatch, duration->frame expansion on host. Returns
+        (mu_y (T,80), c (80,), y_len) — the inputs a Streaming/MultiStream
+        synthesizer session consumes. prepped= reuses a cached prepare_text
+        result (skips g2p)."""
         import jax.numpy as jnp
-
-        from jyutvoice_tpu.nn import core
 
         (x, tone, word_pos, syllable_pos, lang_ids), n, t_text = (
             prepped if prepped is not None
@@ -427,43 +433,33 @@ class Synthesizer:
         else:
             spk_raw = jnp.asarray(spk_embed.reshape(1, -1), self.dtype)
 
-        # text encoder + durations + expand -> mu_y for the whole utterance.
-        # Jitted per bucket: the eager form cost dozens of per-op tunnel
-        # dispatches before the first chunk could start.
-        w_ceil, mu, x_mask, c = self._stream_enc_fn(t_text)(
+        # text encoder + durations in ONE bucketed dispatch (the eager form
+        # cost dozens of per-op tunnel dispatches before the first chunk
+        # could start); the duration->frame expansion happens on HOST.
+        # generate_path (nn/core.py:512) is a pure cumsum-threshold: frame j
+        # belongs to token i iff cum[i-1] <= j < cum[i], which is exactly
+        # np.searchsorted(cum, j, side="right") — so expanding here avoids a
+        # second device dispatch (~28 ms tunnel RTT), the full padded
+        # (1, t_mel, 80) mu_y readback (4.8 MB at the 15000 bucket vs the
+        # (t_text, 80) mu), and an unbounded per-(t_text, t_mel) jit-graph
+        # family for past-table lengths.
+        w_ceil, mu, _, c = self._stream_enc_fn(t_text)(
             self.params_tts, x, jnp.asarray(n), lang_ids, tone, word_pos,
             syllable_pos, spk_raw, jnp.float32(length_scale),
         )
-        w_np = np.asarray(w_ceil)  # one readback for the duration decision
+        w_np, mu_np, c_np = jax.device_get((w_ceil, mu, c))
         y_len = int(max(w_np.sum(), 1.0))
-        want = int(np.ceil(y_len / chunk_frames)) * chunk_frames
-        if want <= bkt.MEL_BUCKETS[-1]:
-            t_mel = bkt.pick_bucket(want, bkt.MEL_BUCKETS)
-        else:
-            # past the bucket table (the reference's 300 s noise-buffer cap)
-            # streaming keeps going: chunk-multiple exact size, with noise
-            # supplied by rand_noise_extended inside StreamingSynthesizer
-            t_mel = want
-        key_exp = ("stream_expand", t_text, t_mel)
-        if key_exp not in self._mel_fns:
-
-            @jax.jit
-            def expand_fn(w_ceil, mu, x_mask, y_len):
-                y_mask = core.sequence_mask(
-                    y_len[None], t_mel
-                ).astype(jnp.float32)
-                attn_mask = x_mask[:, :, 0][:, :, None] * y_mask[:, None, :]
-                attn = core.generate_path(w_ceil[:, :, 0], attn_mask)
-                return jnp.einsum("btm,btf->bmf", attn, mu)
-
-            self._mel_fns[key_exp] = expand_fn
-        mu_y = np.asarray(
-            self._mel_fns[key_exp](
-                w_ceil, mu, x_mask, jnp.asarray(y_len, jnp.int32)
-            )
-        )[0, :y_len]
-        c = np.asarray(c)[0]
-        return mu_y, c, y_len
+        # masked text rows carry w=0 (w_ceil = ceil(exp(logw)*x_mask)*ls) so
+        # the flat cumsum tail never claims a frame
+        cum = np.cumsum(w_np[0, :, 0], dtype=np.float32)
+        idx = np.searchsorted(
+            cum, np.arange(y_len, dtype=np.float32), side="right"
+        )
+        mu_t = mu_np[0].astype(np.float32, copy=False)
+        mu_y = np.zeros((y_len, mu_t.shape[1]), np.float32)
+        valid = idx < mu_t.shape[0]  # y_len=1 on empty durations -> zero row
+        mu_y[valid] = mu_t[idx[valid]]
+        return mu_y, c_np[0], y_len
 
     def synthesize_streaming(
         self,
@@ -487,7 +483,7 @@ class Synthesizer:
 
         mu_y, c, y_len = self.prepare_stream(
             text, lang=lang, phone=phone, spk_embed=spk_embed,
-            chunk_frames=chunk_frames, length_scale=length_scale,
+            length_scale=length_scale,
         )
         p_len = 0 if prompt_feat is None else prompt_feat.shape[0]
         # BUCKET the prompt length: the chunk graph's segment is
@@ -673,8 +669,7 @@ class Synthesizer:
         granule = long_frame_granule(n_seq)
         mu_y, c, y_len = self.prepare_stream(
             text, lang=lang, phone=phone, spk_embed=spk_embed,
-            chunk_frames=granule, length_scale=length_scale,
-            prepped=prepped,
+            length_scale=length_scale, prepped=prepped,
         )
         # single-device long decodes hit the stock-flash attention gate
         # (models/estimator.py::use_stock_flash, 1.6-1.75x) only at
@@ -874,10 +869,9 @@ class Synthesizer:
             ph = np.zeros((b, 0, 80), np.float32)
 
         if t_prompt + t_mel > self.noise.shape[1]:
-            # same capacity rule as the single-item path: past this,
-            # cfm_forward's noise slice comes up short and the failure is an
-            # opaque broadcast error deep in the trace
-            raise ValueError(
+            # past this, cfm_forward's noise slice comes up short and the
+            # failure is an opaque broadcast error deep in the trace
+            raise NoiseBufferExceeded(
                 f"prompt ({t_prompt}) + mel ({t_mel}) frames exceed the "
                 f"{self.noise.shape[1]}-frame deterministic noise buffer "
                 "(300 s cap, reference flow_matching.py:354); synthesize "

@@ -203,8 +203,11 @@ def test_synthesize_batch_empty(synth):
 
 def test_synthesize_batch_noise_capacity_guard(synth):
     """Prompt + mel past the deterministic noise buffer must fail with the
-    explicit ValueError (same rule as the single-item path), not an opaque
-    broadcast error from inside the trace."""
+    TYPED NoiseBufferExceeded (the serving engine catches the type to fail
+    only prompt-bearing culprits — never a message-text match), not an
+    opaque broadcast error from inside the trace."""
+    from jyutvoice_tpu.pipeline.synthesize import NoiseBufferExceeded
+
     small = Synthesizer(TINY, synth.params_tts, synth.params_hift)
     small.noise = small.noise[:, :192]  # shrink the buffer for the test
     items = [{
@@ -212,8 +215,47 @@ def test_synthesize_batch_noise_capacity_guard(synth):
         "prompt_feat": np.zeros((80, 80), np.float32),
         "prompt_h": np.zeros((80, 80), np.float32),
     }]
-    with pytest.raises(ValueError, match="noise buffer"):
+    with pytest.raises(NoiseBufferExceeded, match="noise buffer"):
         small.synthesize_batch(items, n_timesteps=2)
+
+
+def test_prepare_stream_host_expand_matches_generate_path(synth):
+    """prepare_stream's host-side duration->frame expansion (searchsorted
+    over the duration cumsum) must reproduce the device formula
+    (core.generate_path cumsum-threshold path einsum) EXACTLY, including
+    fractional durations from a non-integer length_scale — and must cache
+    no per-length expand graphs (the old per-(t_text, t_mel) jit family
+    grew unboundedly past the mel bucket table)."""
+    from jyutvoice_tpu.nn import core
+
+    for ls in (1.0, 1.37):
+        prepped = synth.prepare_text("佢 係邊 個", "yue", "keoi5 hai6 bin1 go3")
+        mu_y, c, y_len = synth.prepare_stream(
+            "佢 係邊 個", lang="yue", phone="keoi5 hai6 bin1 go3",
+            length_scale=ls, prepped=prepped,
+        )
+        # recompute the expansion with the reference formula on the same
+        # encoder outputs
+        (x, tone, wp, sp, lang_ids), n, t_text = prepped
+        import jax.numpy as jnp
+
+        spk_raw = jnp.zeros((1, TINY.tts.spk_embed_dim), np.float32)
+        w_ceil, mu, x_mask, _ = synth._stream_enc_fn(t_text)(
+            synth.params_tts, x, jnp.asarray(n), lang_ids, tone, wp, sp,
+            spk_raw, jnp.float32(ls),
+        )
+        w_np = np.asarray(w_ceil)
+        assert y_len == int(max(w_np.sum(), 1.0))
+        y_mask = np.ones((1, 1, y_len), np.float32)
+        attn_mask = np.asarray(x_mask)[:, :, 0][:, :, None] * y_mask
+        attn = np.asarray(core.generate_path(
+            jnp.asarray(w_np[:, :, 0]), jnp.asarray(attn_mask)
+        ))
+        want = np.einsum("btm,btf->bmf", attn, np.asarray(mu))[0]
+        np.testing.assert_array_equal(mu_y, want)
+    assert not any(
+        k[0] == "stream_expand" for k in synth._mel_fns
+    ), "host expand must not cache device expand graphs"
 
 
 def test_length_scale_is_traced_not_static(synth):
