@@ -86,6 +86,20 @@ def build_parser() -> argparse.ArgumentParser:
         "+ windowed vocoder; Synthesizer.warmup_long defaults) — a cold "
         "first multi-minute request pays ~90 s of compiles otherwise",
     )
+    ap.add_argument(
+        "--sp-devices", type=int, default=0,
+        help="shard long-form solves (text past the interactive buckets) "
+        "over a sequence-parallel mesh of this many local devices "
+        "(dist/sp.py): per-chip attention memory/FLOPs drop N-fold, "
+        "shrinking a long request's latency and its head-of-line window. "
+        "0 (default) = single-chip long solves",
+    )
+    ap.add_argument(
+        "--sp-attention", choices=("scores", "ring"), default="scores",
+        help="sequence-parallel attention backend: 'scores' = GSPMD dense "
+        "(per-chip (2B,H,T/N,T) score slab), 'ring' = ring attention "
+        "(per-chip (T/N,T/N) tile; for decodes past the dense memory wall)",
+    )
     ap.add_argument("--verbose", action="store_true")
     return ap
 
@@ -134,6 +148,21 @@ def main(argv=None) -> None:
         )
 
     synth = Synthesizer(cfg, params, params_hift)
+    sp_mesh = None
+    if args.sp_devices:
+        from jyutvoice_tpu.dist.sp import make_sp_mesh
+
+        n_dev = len(jax.devices())
+        if args.sp_devices > n_dev:
+            raise SystemExit(
+                f"--sp-devices {args.sp_devices} but only {n_dev} device(s) "
+                f"visible"
+            )
+        sp_mesh = make_sp_mesh(args.sp_devices)
+        log.info(
+            "long-form solves sequence-parallel over %d devices (%s)",
+            args.sp_devices, args.sp_attention,
+        )
     if args.warmup:
         import time
 
@@ -165,6 +194,9 @@ def main(argv=None) -> None:
             n_timesteps=(args.n_timesteps,),
             pcm16=True,
             log_fn=lambda m: log.info("%s", m),
+            # warm the SAME solve graphs the engine will pick
+            mesh=sp_mesh,
+            sp_attention=args.sp_attention,
         )
         log.info(
             "warmup-long: %d graphs in %.1f s", n, time.perf_counter() - t0
@@ -183,6 +215,8 @@ def main(argv=None) -> None:
         stream_prompt_frames=args.stream_prompt_frames,
         verbose=args.verbose,
         prompt_extractor=extractor,
+        sp_mesh=sp_mesh,
+        sp_attention=args.sp_attention,
     )
     log.info(
         "serving on http://%s:%d (device: %s, streaming: %s)",

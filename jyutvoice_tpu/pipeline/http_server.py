@@ -352,6 +352,8 @@ class TTSServer:
         verbose: bool = False,
         prompt_extractor=None,
         prompt_cache_size: int = 16,
+        sp_mesh=None,
+        sp_attention: str = "scores",
     ):
         from jyutvoice_tpu.pipeline.server import ServingEngine, StreamingLane
 
@@ -362,6 +364,10 @@ class TTSServer:
             n_timesteps=n_timesteps,
             length_scale=length_scale,
             pcm16=True,
+            # multi-chip hosts: shard each long-form solve over the mesh
+            # (dist/sp.py) instead of pinning one chip for seconds
+            sp_mesh=sp_mesh,
+            sp_attention=sp_attention,
         )
         self.lane = (
             StreamingLane(

@@ -79,7 +79,12 @@ class ServingEngine:
     itself is the device time, not a scheduling artifact). Deployments
     mixing interactive and multi-minute traffic should run them on
     separate engine instances/chips, or use StreamingLane for the long
-    jobs (time-sliced with other streams).
+    jobs (time-sliced with other streams). On a multi-chip host, pass
+    sp_mesh (a jax.sharding.Mesh with a "seq" axis — dist/sp.py
+    make_sp_mesh) to shard each long solve across the mesh: per-chip
+    attention memory/FLOPs drop n_seq-fold, shrinking both the long
+    request's latency and the head-of-line window it imposes
+    (`jyutvoice-serve --sp-devices N`).
     """
 
     def __init__(
@@ -92,10 +97,14 @@ class ServingEngine:
         return_mel: bool = False,
         pcm16: bool = False,
         split_dispatch_at: int = 8,
+        sp_mesh=None,
+        sp_attention: str = "scores",
     ):
         self.synth = synthesizer
         self.max_batch = max_batch
         self.split_dispatch_at = split_dispatch_at
+        self.sp_mesh = sp_mesh
+        self.sp_attention = sp_attention
         self.max_wait_s = max_wait_ms / 1000.0
         self.n_timesteps = n_timesteps
         self.length_scale = length_scale
@@ -267,25 +276,20 @@ class ServingEngine:
                 ok_group.extend(attempt)
                 self.stats.dispatches += 1
                 return
-            except OverLongBatchItems as e:
-                # the dispatcher identifies exactly which items exceeded
-                # the batch mel table — fail those, retry the rest
-                culprits = [attempt[i] for i in e.indices]
-                if not culprits:
-                    self._fail(attempt, e)
-                    return
-                self._fail(culprits, e)
-                failed = {id(r) for r in culprits}
-                attempt = [r for r in attempt if id(r) not in failed]
-            except NoiseBufferExceeded as e:
-                # prompt bucket + mel bucket past the noise buffer is a
-                # GROUP property (mel bucket = the longest item): fail only
-                # the prompt-bearing culprits and retry the rest, instead
-                # of failing innocent co-batched items
-                culprits = [
-                    r for r in attempt
-                    if r.item.get("prompt_feat") is not None
-                ]
+            except (OverLongBatchItems, NoiseBufferExceeded) as e:
+                if isinstance(e, OverLongBatchItems):
+                    # the dispatcher identifies exactly which items
+                    # exceeded the batch mel table
+                    culprits = [attempt[i] for i in e.indices]
+                else:
+                    # prompt bucket + mel bucket past the noise buffer is
+                    # a GROUP property (mel bucket = the longest item):
+                    # fail only the prompt-bearing culprits, not innocent
+                    # co-batched items
+                    culprits = [
+                        r for r in attempt
+                        if r.item.get("prompt_feat") is not None
+                    ]
                 if not culprits:
                     self._fail(attempt, e)
                     return
@@ -398,6 +402,8 @@ class ServingEngine:
                         lang=req.item.get("lang", "yue"),
                         phone=req.item.get("phone"),
                         spk_embed=req.item.get("spk_embed"),
+                        mesh=self.sp_mesh,
+                        sp_attention=self.sp_attention,
                         n_timesteps=self.n_timesteps,
                         length_scale=self.length_scale,
                         pcm16=self.pcm16,
@@ -514,9 +520,9 @@ class StreamingLane:
         prompt_feat: Optional[np.ndarray] = None,
         prompt_h: Optional[np.ndarray] = None,
     ) -> _StreamHandle:
-        # validate the prompt HERE (caller's thread): a too-long prompt
-        # would otherwise be silently truncated at open() and a prompt on
-        # a no-capacity lane silently ignored
+        # validate the prompt HERE (caller's thread) so the error surfaces
+        # at submit time instead of inside the lane worker (open() also
+        # raises on an over-capacity prompt, but that would fail the tick)
         if prompt_feat is not None:
             if self.prompt_frames == 0:
                 raise ValueError(

@@ -180,7 +180,13 @@ def _init_session(
     t_total = mu_y.shape[0]
     if p and prompt_feat is not None:
         assert prompt_h is not None
-        p_valid = min(prompt_feat.shape[0], p)
+        p_valid = prompt_feat.shape[0]
+        if p_valid > p:
+            raise ValueError(
+                f"cloning prompt is {p_valid} frames but this streaming "
+                f"graph was compiled with prompt capacity {p} — trim the "
+                f"prompt or rebuild with prompt_frames>={p_valid}"
+            )
     else:
         p_valid = 0
     p_start = p - p_valid

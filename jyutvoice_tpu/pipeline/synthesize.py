@@ -450,10 +450,16 @@ class Synthesizer:
         w_np, mu_np, c_np = jax.device_get((w_ceil, mu, c))
         y_len = int(max(w_np.sum(), 1.0))
         # masked text rows carry w=0 (w_ceil = ceil(exp(logw)*x_mask)*ls) so
-        # the flat cumsum tail never claims a frame
-        cum = np.cumsum(w_np[0, :, 0], dtype=np.float32)
+        # the flat cumsum tail never claims a frame. f64 accumulation: the
+        # device generate_path cumsum is an f32 log-depth scan, so at a
+        # fractional length_scale a partial sum within 1 ULP of an integer
+        # could land a boundary frame on either side — f64 pins the host
+        # boundaries to the exact real-arithmetic ones (a residual 1-frame
+        # tie vs the device path is possible only when the f32 scan itself
+        # misrounds across an integer, inherent to the f32 device path)
+        cum = np.cumsum(w_np[0, :, 0], dtype=np.float64)
         idx = np.searchsorted(
-            cum, np.arange(y_len, dtype=np.float32), side="right"
+            cum, np.arange(y_len, dtype=np.float64), side="right"
         )
         mu_t = mu_np[0].astype(np.float32, copy=False)
         mu_y = np.zeros((y_len, mu_t.shape[1]), np.float32)
@@ -530,6 +536,24 @@ class Synthesizer:
             self._mel_fns[key] = solve
         return self._mel_fns[key]
 
+    def _long_sp_fn(self, mesh, n_timesteps: int, sp_attention: str):
+        """Sequence-parallel long-form solve, cached per (mesh, steps,
+        attention): (run, decoder-params device_put with SP shardings)."""
+        from jyutvoice_tpu.dist.sp import sp_cfm_solve, sp_param_shardings
+
+        key = ("long_sp", id(mesh), n_timesteps, sp_attention)
+        if key not in self._mel_fns:
+            run = sp_cfm_solve(
+                self.params_tts["decoder"], self.cfg.tts.cfm, mesh,
+                n_timesteps=n_timesteps, attention=sp_attention,
+            )
+            dec = jax.device_put(
+                self.params_tts["decoder"],
+                sp_param_shardings(self.params_tts["decoder"], mesh),
+            )
+            self._mel_fns[key] = (run, dec)
+        return self._mel_fns[key]
+
     def warmup_long(
         self,
         # the full long-form shape table synthesize_long actually picks:
@@ -540,6 +564,8 @@ class Synthesizer:
         n_timesteps=(10,),
         pcm16: bool = False,
         log_fn=None,
+        mesh=None,
+        sp_attention: str = "scores",
     ) -> int:
         """Pre-compile the long-form (synthesize_long) graph family.
 
@@ -548,7 +574,11 @@ class Synthesizer:
         512-rounded mel shape, the windowed vocoder). Driving each graph
         once here moves that to startup and fills the persistent compile
         cache. mel_sizes should be 512-multiples (synthesize_long rounds
-        its shape table to 512 past T=1536). Returns graphs driven.
+        its shape table to 512 past T=1536). With mesh/sp_attention the
+        solve graphs warmed are the sequence-parallel ones that
+        synthesize_long(mesh=...) will pick (mel_sizes must be multiples
+        of the mesh's "seq" size; 512-multiples always are for power-of-2
+        meshes). Returns graphs driven.
         """
         import jax.numpy as jnp
 
@@ -567,15 +597,39 @@ class Synthesizer:
             if log_fn:
                 log_fn(f"warmup_long: text bucket {t_text} ready")
         spks = jnp.zeros((1, 80), jnp.float32)
+        if mesh is not None:
+            from jyutvoice_tpu.dist.sp import SEQ_AXIS, seq_sharding
+
+            n_seq = mesh.shape[SEQ_AXIS]
+            bad = [t for t in mel_sizes if t % n_seq]
+            if bad:
+                raise ValueError(
+                    f"mel_sizes {bad} not divisible by the mesh seq size "
+                    f"{n_seq} — synthesize_long would never pick them"
+                )
         for t_mel in mel_sizes:
             mu = jnp.zeros((1, t_mel, 80), jnp.float32)
             mask = jnp.ones((1, t_mel, 1), jnp.float32)
             cond = jnp.zeros((1, t_mel, 80), jnp.float32)
             noise = jnp.asarray(rand_noise_extended(t_mel))
             for steps in n_timesteps:
-                mel = self._long_solve_fn(t_mel, steps)(
-                    self.params_tts["decoder"], mu, mask, spks, cond, noise
-                )
+                if mesh is None:
+                    mel = self._long_solve_fn(t_mel, steps)(
+                        self.params_tts["decoder"], mu, mask, spks, cond,
+                        noise,
+                    )
+                else:
+                    run, dec = self._long_sp_fn(mesh, steps, sp_attention)
+                    seq = seq_sharding(mesh)
+                    mel = run(
+                        dec,
+                        jax.device_put(mu, seq),
+                        jax.device_put(mask, seq),
+                        spks,
+                        jax.device_put(cond, seq),
+                        noise,
+                    )
+                    mel = jax.device_put(mel, jax.devices()[0])
                 wav = self._voc_fn(t_mel, pcm16)(self.params_hift, mel)
                 jax.block_until_ready(wav)
                 count += 1
@@ -708,24 +762,9 @@ class Synthesizer:
                 noise,
             )
         else:
-            from jyutvoice_tpu.dist.sp import (
-                seq_sharding,
-                sp_cfm_solve,
-                sp_param_shardings,
-            )
+            from jyutvoice_tpu.dist.sp import seq_sharding
 
-            key = ("long_sp", id(mesh), n_timesteps, sp_attention)
-            if key not in self._mel_fns:
-                run = sp_cfm_solve(
-                    self.params_tts["decoder"], self.cfg.tts.cfm, mesh,
-                    n_timesteps=n_timesteps, attention=sp_attention,
-                )
-                dec = jax.device_put(
-                    self.params_tts["decoder"],
-                    sp_param_shardings(self.params_tts["decoder"], mesh),
-                )
-                self._mel_fns[key] = (run, dec)
-            run, dec = self._mel_fns[key]
+            run, dec = self._long_sp_fn(mesh, n_timesteps, sp_attention)
             seq = seq_sharding(mesh)
             mel = run(
                 dec,

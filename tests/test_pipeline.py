@@ -487,6 +487,26 @@ def test_warmup_long(synth):
     assert len(synth._mel_fns) <= before + 2
 
 
+def test_warmup_long_sp_mesh(synth):
+    """warmup_long(mesh=...) warms the SAME sequence-parallel solve graph
+    synthesize_long(mesh=...) picks (and rejects mel sizes the mesh can't
+    shard)."""
+    import pytest
+
+    from jyutvoice_tpu.dist.sp import make_sp_mesh
+
+    mesh = make_sp_mesh(8)
+    n = synth.warmup_long(
+        mel_sizes=(128,), text_buckets=(64,), n_timesteps=(1,), mesh=mesh
+    )
+    assert n == 2
+    assert ("long_sp", id(mesh), 1, "scores") in synth._mel_fns
+    with pytest.raises(ValueError, match="not divisible"):
+        synth.warmup_long(
+            mel_sizes=(130,), text_buckets=(), n_timesteps=(1,), mesh=mesh
+        )
+
+
 def test_synthesize_prompt_past_noise_buffer_extends(synth, monkeypatch):
     """A cloning prompt pushing a near-cap utterance past the 15000-frame
     noise buffer must extend the noise deterministically, not raise

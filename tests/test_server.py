@@ -314,6 +314,39 @@ def test_streaming_lane_cancel_frees_slot(synth):
         list(it)
 
 
+def test_engine_long_request_sequence_parallel(synth, monkeypatch):
+    """ServingEngine(sp_mesh=...): a long request's solve is sharded over
+    the mesh (dist/sp.py) and matches the single-device long path."""
+    from jyutvoice_tpu.dist.sp import make_sp_mesh
+
+    long_ph = " ".join(["keoi5 hai6 bin1 go3"] * 40)  # > 512 tokens
+    long_tx = ("佢係邊個 " * 40).strip()
+    want = synth.synthesize_long(
+        long_tx, lang="yue", phone=long_ph, n_timesteps=1, return_mel=True
+    )
+
+    seen = {}
+    orig = type(synth).synthesize_long
+
+    def spy(self, text, **kw):
+        seen["mesh"] = kw.get("mesh")
+        return orig(self, text, **kw)
+
+    monkeypatch.setattr(type(synth), "synthesize_long", spy)
+    mesh = make_sp_mesh(8)
+    with ServingEngine(
+        synth, max_batch=2, n_timesteps=1, return_mel=True, sp_mesh=mesh
+    ) as engine:
+        res = engine.submit(long_tx, lang="yue", phone=long_ph).result(
+            timeout=600
+        )
+    assert seen["mesh"] is mesh
+    assert res.mel_frames == want.mel_frames
+    np.testing.assert_allclose(res.mel, want.mel, atol=2e-5, rtol=1e-4)
+    corr = np.corrcoef(res.wav, want.wav)[0, 1]
+    assert corr > 0.9999, corr
+
+
 def test_engine_routes_long_singleton_via_synthesize_long(synth, monkeypatch):
     """A prompt-free request past the interactive text buckets must go
     through the one-pass long-form path (no 15000-frame cap, flash +

@@ -248,6 +248,32 @@ def test_multistream_prompt_without_capacity_is_loud(setup):
         )
 
 
+def test_stream_prompt_over_capacity_is_loud(setup):
+    """A prompt longer than the compiled capacity must raise, never
+    silently truncate to a degraded voice match — on BOTH direct surfaces
+    (StreamingSynthesizer.stream and MultiStreamSynthesizer.open)."""
+    from jyutvoice_tpu.pipeline.streaming import MultiStreamSynthesizer
+
+    params, params_hift = setup
+    pf = np.zeros((80, 80), np.float32)  # 80 frames > 64 capacity
+    ph = np.zeros((80, 80), np.float32)
+    mu = np.zeros((100, 80), np.float32)
+    spk = np.zeros(80, np.float32)
+
+    ss = StreamingSynthesizer(
+        TINY, params, params_hift, chunk_frames=50, prompt_frames=64
+    )
+    with pytest.raises(ValueError, match="prompt capacity 64"):
+        next(ss.stream(mu, spk, pf, ph))
+
+    ms = MultiStreamSynthesizer(
+        TINY, params, params_hift, max_sessions=2, chunk_frames=50,
+        prompt_frames=64,
+    )
+    with pytest.raises(ValueError, match="prompt capacity 64"):
+        ms.open(mu, spk, pf, ph)
+
+
 def test_multistream_matches_single(setup):
     """MultiStreamSynthesizer: N lock-step sessions in one dispatch per
     tick produce EXACTLY the single-stream waveforms, including sessions of
