@@ -152,6 +152,14 @@ def main(argv=None) -> None:
     if args.sp_devices:
         from jyutvoice_tpu.dist.sp import make_sp_mesh
 
+        if args.sp_devices < 2:
+            # a 1-device "mesh" would silently route long solves through
+            # the GSPMD score path, losing the single-chip stock-flash
+            # gate (1.6-1.75x); single-chip long solves are the default
+            raise SystemExit(
+                f"--sp-devices must be >= 2 (got {args.sp_devices}); "
+                f"omit it for single-chip long solves"
+            )
         n_dev = len(jax.devices())
         if args.sp_devices > n_dev:
             raise SystemExit(

@@ -43,6 +43,15 @@ def make_sp_mesh(
     devices = np.asarray(jax.devices())
     if n_seq is None:
         n_seq = devices.size // n_model
+    if n_seq < 1 or n_model < 1:
+        raise ValueError(
+            f"mesh sizes must be >= 1, got n_seq={n_seq} n_model={n_model}"
+        )
+    if n_model * n_seq > devices.size:
+        raise ValueError(
+            f"mesh needs {n_model * n_seq} devices, only {devices.size} "
+            f"visible"
+        )
     devices = devices[: n_model * n_seq]
     if n_model > 1:
         return Mesh(devices.reshape(n_model, n_seq), (MODEL_AXIS, SEQ_AXIS))

@@ -178,6 +178,15 @@ def _init_session(
     so streaming has no 300 s limit.
     """
     t_total = mu_y.shape[0]
+    if prompt_feat is not None and not p:
+        # silently producing un-cloned audio is the failure mode the
+        # capacity checks exist to prevent — raise on every surface that
+        # reaches here (StreamingSynthesizer.stream has no earlier guard)
+        raise ValueError(
+            "a cloning prompt was passed but this streaming graph was "
+            "compiled without prompt capacity — rebuild with "
+            "prompt_frames>0"
+        )
     if p and prompt_feat is not None:
         assert prompt_h is not None
         p_valid = prompt_feat.shape[0]

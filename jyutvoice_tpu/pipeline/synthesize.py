@@ -574,16 +574,34 @@ class Synthesizer:
         512-rounded mel shape, the windowed vocoder). Driving each graph
         once here moves that to startup and fills the persistent compile
         cache. mel_sizes should be 512-multiples (synthesize_long rounds
-        its shape table to 512 past T=1536). With mesh/sp_attention the
-        solve graphs warmed are the sequence-parallel ones that
-        synthesize_long(mesh=...) will pick (mel_sizes must be multiples
-        of the mesh's "seq" size; 512-multiples always are for power-of-2
-        meshes). Returns graphs driven.
+        its shape table to 512 past T=1536, lcm-extended for odd mesh
+        sizes). With mesh/sp_attention the solve graphs warmed are the
+        sequence-parallel ones that synthesize_long(mesh=...) will pick
+        (the default 512-multiples are valid for any power-of-2 mesh).
+        Returns graphs driven.
         """
         import jax.numpy as jnp
 
         from jyutvoice_tpu.weights.noise import rand_noise_extended
 
+        if mesh is not None:
+            from jyutvoice_tpu.dist.sp import SEQ_AXIS
+
+            n_seq = mesh.shape[SEQ_AXIS]
+            granule = long_frame_granule(n_seq)
+            align = math.lcm(512, n_seq)
+            # validate BEFORE compiling anything: each text bucket costs
+            # minutes cold, and a bad mel table would waste them all
+            bad = [
+                t for t in mel_sizes
+                if t % granule or (t > 1536 and t % align)
+            ]
+            if bad:
+                raise ValueError(
+                    f"mel_sizes {bad} not divisible by the mesh's frame "
+                    f"granule ({granule}; 512-aligned past 1536) — "
+                    f"synthesize_long(mesh=...) would never pick them"
+                )
         count = 0
         ones = jnp.ones((1,), jnp.int32)
         spk = jnp.zeros((1, self.cfg.tts.spk_embed_dim), self.dtype)
@@ -598,15 +616,7 @@ class Synthesizer:
                 log_fn(f"warmup_long: text bucket {t_text} ready")
         spks = jnp.zeros((1, 80), jnp.float32)
         if mesh is not None:
-            from jyutvoice_tpu.dist.sp import SEQ_AXIS, seq_sharding
-
-            n_seq = mesh.shape[SEQ_AXIS]
-            bad = [t for t in mel_sizes if t % n_seq]
-            if bad:
-                raise ValueError(
-                    f"mel_sizes {bad} not divisible by the mesh seq size "
-                    f"{n_seq} — synthesize_long would never pick them"
-                )
+            from jyutvoice_tpu.dist.sp import seq_sharding
         for t_mel in mel_sizes:
             mu = jnp.zeros((1, t_mel, 80), jnp.float32)
             mask = jnp.ones((1, t_mel, 1), jnp.float32)
@@ -725,24 +735,25 @@ class Synthesizer:
             text, lang=lang, phone=phone, spk_embed=spk_embed,
             length_scale=length_scale, prepped=prepped,
         )
-        # single-device long decodes hit the stock-flash attention gate
+        # 512-align the long-form shape table on EVERY path: single-device
+        # decodes hit the stock-flash attention gate
         # (models/estimator.py::use_stock_flash, 1.6-1.75x) only at
         # 512-aligned totals (smaller flash blocks measured 0.29-0.92x),
-        # so 512-align the long-form shape table; the sharded path forces
-        # bf16 scores (dist/sp.py) and keeps the finer mesh-divisible
-        # granule
+        # and the sharded path needs a BOUNDED graph family that
+        # warmup_long(mesh=...) can pre-compile — one compile per
+        # 512-granule (lcm-extended for odd mesh sizes), never one per
+        # 32-frame request length
+        align = 512 if n_seq == 1 else math.lcm(512, n_seq)
         want = int(np.ceil(max(y_len, 1) / granule)) * granule
-        if n_seq == 1 and want > 1536:
-            want = int(np.ceil(want / 512)) * 512
+        if want > 1536:
+            want = int(np.ceil(want / align)) * align
         if want <= bkt.MEL_BUCKETS[-1]:
             t_mel = bkt.pick_bucket(want, bkt.MEL_BUCKETS)
-            if t_mel % n_seq:
-                t_mel = want
-            elif n_seq == 1 and t_mel % 512 and t_mel >= 2048:
-                # the 15000-frame cap is the only non-512-aligned long
-                # bucket: use the 512-rounded want instead (flash-eligible,
-                # <= 6 shapes in the 12288-15360 window; extended noise
-                # covers past 15000)
+            if t_mel % granule or (t_mel % align and t_mel >= 2048):
+                # bucket the mesh can't shard, or the 15000-frame cap (the
+                # only non-512-aligned long bucket): use the aligned want
+                # instead (flash-eligible on one chip, <= 6 shapes in the
+                # 12288-15360 window; extended noise covers past 15000)
                 t_mel = want
         else:
             t_mel = want

@@ -217,6 +217,23 @@ def test_ref_audio_without_extractor_is_400(server):
     assert "prompt models" in json.loads(ei.value.read())["error"]
 
 
+def test_sp_mesh_reaches_engine(server):
+    """TTSServer(sp_mesh=...) must plumb the mesh + attention backend into
+    the serving engine (the jyutvoice-serve --sp-devices contract)."""
+    srv, synth = server
+    assert srv.engine.sp_mesh is None  # default: single-chip long solves
+    sentinel = object()
+    srv2 = TTSServer(
+        synth, port=0, max_batch=2, max_wait_ms=5.0, n_timesteps=2,
+        sp_mesh=sentinel, sp_attention="ring",
+    )
+    try:
+        assert srv2.engine.sp_mesh is sentinel
+        assert srv2.engine.sp_attention == "ring"
+    finally:
+        srv2.close()
+
+
 def test_ref_audio_cloning_path():
     """ref_audio_b64 -> PromptExtractor -> engine, with content-hash cache.
 

@@ -252,7 +252,25 @@ def test_prepare_stream_host_expand_matches_generate_path(synth):
             jnp.asarray(w_np[:, :, 0]), jnp.asarray(attn_mask)
         ))
         want = np.einsum("btm,btf->bmf", attn, np.asarray(mu))[0]
-        np.testing.assert_array_equal(mu_y, want)
+        # the host path accumulates the cumsum in f64 (exact real
+        # arithmetic); the device path is an f32 scan that can misround a
+        # partial sum across an integer at fractional length_scale,
+        # shifting ONE boundary frame to the adjacent token (documented in
+        # prepare_stream). Accept exactly that divergence and nothing else.
+        mismatch = np.flatnonzero((mu_y != want).any(axis=1))
+        if mismatch.size:
+            cum = np.cumsum(w_np[0, :, 0], dtype=np.float64)
+            idx = np.searchsorted(cum, mismatch.astype(np.float64), "right")
+            mu_rows = np.asarray(mu)[0]
+            for j, tok in zip(mismatch, idx):
+                # host produced its own documented answer...
+                np.testing.assert_array_equal(mu_y[j], mu_rows[tok])
+                # ...and the device's differing answer is the neighbor
+                assert (
+                    (want[j] == mu_rows[max(tok - 1, 0)]).all()
+                    or (want[j] == mu_rows[min(tok + 1, len(cum) - 1)]).all()
+                ), f"frame {j}: device row is not a boundary neighbor"
+            assert mismatch.size <= len(cum), "more ties than tokens"
     assert not any(
         k[0] == "stream_expand" for k in synth._mel_fns
     ), "host expand must not cache device expand graphs"

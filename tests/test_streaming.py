@@ -248,6 +248,21 @@ def test_multistream_prompt_without_capacity_is_loud(setup):
         )
 
 
+def test_stream_prompt_without_capacity_is_loud(setup):
+    """StreamingSynthesizer.stream with prompt_frames=0 must raise when a
+    cloning prompt IS passed — not silently produce un-cloned audio (the
+    lane and multi-stream surfaces already guard this at submit/open)."""
+    params, params_hift = setup
+    ss = StreamingSynthesizer(
+        TINY, params, params_hift, chunk_frames=50, prompt_frames=0
+    )
+    with pytest.raises(ValueError, match="without prompt capacity"):
+        next(ss.stream(
+            np.zeros((100, 80), np.float32), np.zeros(80, np.float32),
+            np.zeros((8, 80), np.float32), np.zeros((8, 80), np.float32),
+        ))
+
+
 def test_stream_prompt_over_capacity_is_loud(setup):
     """A prompt longer than the compiled capacity must raise, never
     silently truncate to a degraded voice match — on BOTH direct surfaces
