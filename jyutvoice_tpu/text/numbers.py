@@ -2,7 +2,21 @@
 
 Re-implements the reference's tacotron-derived normalizer
 (text/number_utils.py:64-71) with a built-in number-to-words engine instead
-of `inflect`. Output style: plain lowercase words, no commas/hyphens/and.
+of `inflect`. Output style: plain lowercase words, no hyphens/and (the
+downstream g2p splits on non-alpha, so 'thirty four' and inflect's
+'thirty-four' produce identical phone streams).
+
+Flow parity matters more than it looks: the reference expands dollars/
+pounds/decimals to DIGIT strings and lets the final `_number_re` pass
+render words — so '$1,234' reads year-style ('twelve thirty four
+dollars'), '3.14' reads 'three point fourteen' (fraction as a cardinal,
+'0.05' loses its leading zero), and '1 dollar, 1 cent' keeps the comma
+(a real pause token). This module follows the same two-phase flow.
+(The reference's own tests/test_number_utils.py expects different
+strings — e.g. '1,234' -> 'one thousand...' — but its code produces the
+year-style form; we match the code, which is what a user runs. Note the
+reference never wires normalize_numbers into a cleaner: it is a tested
+standalone utility there, and here.)
 """
 
 from __future__ import annotations
@@ -86,13 +100,13 @@ def _remove_commas(m):
 
 
 def _expand_decimal_point(m):
-    # '3.14' -> 'three point one four'
-    int_part, frac = m.group(1).split(".")
-    frac_words = " ".join(_UNITS[int(d)] for d in frac)
-    return number_to_words(int(int_part)) + " point " + frac_words
+    # digits stay: '3.14' -> '3 point 14'; the final number pass renders
+    # 'three point fourteen' (reference flow — NOT digit-by-digit)
+    return m.group(1).replace(".", " point ")
 
 
 def _expand_dollars(m):
+    # digits stay (final pass renders words, year-style in (1000, 3000))
     match = m.group(1)
     parts = match.split(".")
     if len(parts) > 2:
@@ -102,20 +116,19 @@ def _expand_dollars(m):
     if dollars and cents:
         du = "dollar" if dollars == 1 else "dollars"
         cu = "cent" if cents == 1 else "cents"
-        return (
-            f"{number_to_words(dollars)} {du} {number_to_words(cents)} {cu}"
-        )
+        return f"{dollars} {du}, {cents} {cu}"
     if dollars:
         du = "dollar" if dollars == 1 else "dollars"
-        return f"{number_to_words(dollars)} {du}"
+        return f"{dollars} {du}"
     if cents:
         cu = "cent" if cents == 1 else "cents"
-        return f"{number_to_words(cents)} {cu}"
+        return f"{cents} {cu}"
     return "zero dollars"
 
 
 def _expand_pounds(m):
-    return number_to_words(int(m.group(1).replace(",", ""))) + " pounds"
+    # digits stay (commas were already stripped by the comma pass)
+    return m.group(1) + " pounds"
 
 
 def _expand_ordinal(m):

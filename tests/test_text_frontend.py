@@ -185,12 +185,20 @@ def test_intersperse():
         ("1,234", "twelve thirty four"),
         ("3,456", "three thousand four hundred fifty six"),
         ("4,000", "four thousand"),
-        ("3.14", "three point one four"),
+        # decimals: fraction rendered as a CARDINAL by the final number
+        # pass (reference flow), not digit-by-digit; '0.05' loses its
+        # leading zero exactly like the reference does
+        ("3.14", "three point fourteen"),
         ("0.5", "zero point five"),
+        ("0.05", "zero point five"),
         ("$5", "five dollars"),
-        ("$1.01", "one dollar one cent"),
+        ("$1.01", "one dollar, one cent"),
         ("$0.50", "fifty cents"),
+        # money amounts in (1000, 3000) read year-style: the reference
+        # emits digits and its final pass applies the year rule
+        ("$1,234", "twelve thirty four dollars"),
         ("£20", "twenty pounds"),
+        ("£1984", "nineteen eighty four pounds"),
         ("1st", "first"),
         ("3rd", "third"),
         ("22nd", "twenty second"),
@@ -207,7 +215,7 @@ def test_normalize_numbers(inp, expect):
 
 def test_normalize_numbers_mixed():
     out = normalize_numbers("I paid $3.50 for 1,000 apples on 1st Jan 2000.")
-    assert "three dollars fifty cents" in out
+    assert "three dollars, fifty cents" in out
     assert "one thousand" in out
     assert "first" in out
     assert "two thousand" in out
