@@ -76,21 +76,27 @@ def row_to_example(row: Dict, cfg: DataConfig, mel_fn=None) -> Optional[Dict]:
     else:
         return None
 
-    # trim to a token_mel_ratio multiple (text_mel_datamodule.py:252-268)
-    t = (mel.shape[0] // cfg.token_mel_ratio) * cfg.token_mel_ratio
-    if t == 0:
-        return None
-    mel = mel[:t]
-
     spk = np.asarray(
         row.get("spk_emb", np.zeros(cfg.spk_embed_dim)), np.float32
     )
     dh = row.get("decoder_h")
     decoder_h = (
-        np.asarray(dh, np.float32)[:t]
+        np.asarray(dh, np.float32)
         if dh is not None
-        else np.zeros((t, cfg.n_feats), np.float32)
+        else np.zeros((mel.shape[0], cfg.n_feats), np.float32)
     )
+
+    # trim to a token_mel_ratio multiple, capped by the decoder_h length
+    # (reference text_mel_datamodule.py:252-268 — its min() compares
+    # mel_frames/ratio against decoder_h FRAMES, a unit-mixing quirk we
+    # replicate: a short decoder_h shortens mel to ratio*dh_frames)
+    t = cfg.token_mel_ratio * min(
+        mel.shape[0] // cfg.token_mel_ratio, decoder_h.shape[0]
+    )
+    if t == 0:
+        return None
+    mel = mel[:t]
+    decoder_h = decoder_h[:t]
     if decoder_h.shape[0] < t:
         decoder_h = np.pad(decoder_h, ((0, t - decoder_h.shape[0]), (0, 0)))
 

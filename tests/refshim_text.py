@@ -211,3 +211,69 @@ def install():
         sys.path.append(REF_PATH)
     _import_reference_text()
     _installed = True
+
+
+# ---------------------------------------------------------------------------
+# Extra stubs for the reference DATA pipeline (jyutvoice/data/
+# text_mel_datamodule.py): torchaudio (kaldi fbank — only the spk-emb
+# extraction path uses it) and librosa (filters.mel backed by our own
+# slaney filterbank so BOTH mel paths consume identical weights;
+# resample/load raise — cross-tests feed sr-matched arrays).
+# ---------------------------------------------------------------------------
+
+_data_installed = False
+
+
+def _install_torchaudio():
+    ta = _module("torchaudio")
+    compliance = _module("torchaudio.compliance")
+    kaldi = _module("torchaudio.compliance.kaldi")
+
+    def _fbank(*a, **kw):
+        raise NotImplementedError(
+            "torchaudio stub: kaldi fbank unavailable (spk-emb extraction "
+            "path is out of scope for datamodule cross-tests)"
+        )
+
+    kaldi.fbank = _fbank
+    compliance.kaldi = kaldi
+    ta.compliance = compliance
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.compliance"] = compliance
+    sys.modules["torchaudio.compliance.kaldi"] = kaldi
+
+
+def _install_librosa():
+    from jyutvoice_tpu.audio.mel import mel_filterbank
+
+    lb = _module("librosa")
+    filters = _module("librosa.filters")
+
+    def mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
+        return mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+
+    filters.mel = mel
+
+    def _unavailable(*a, **kw):
+        raise NotImplementedError(
+            "librosa stub: resample/load unavailable — feed sr-matched "
+            "float arrays"
+        )
+
+    lb.filters = filters
+    lb.resample = _unavailable
+    lb.load = _unavailable
+    sys.modules["librosa"] = lb
+    sys.modules["librosa.filters"] = filters
+
+
+def install_data():
+    """Stubs for importing jyutvoice.data.text_mel_datamodule. Call AFTER
+    refshim.install() (lightning/whisper/onnxruntime permissive shims) and
+    refshim_text.install() (the text frontend the dataset tokenizes with)."""
+    global _data_installed
+    if _data_installed:
+        return
+    _install_torchaudio()
+    _install_librosa()
+    _data_installed = True
