@@ -1,22 +1,36 @@
 """English number expansion without external dependencies.
 
 Re-implements the reference's tacotron-derived normalizer
-(text/number_utils.py:64-71) with a built-in number-to-words engine instead
-of `inflect`. Output style: plain lowercase words, no hyphens/and (the
-downstream g2p splits on non-alpha, so 'thirty four' and inflect's
-'thirty-four' produce identical phone streams).
+(text/number_utils.py:64-71) with a built-in number-to-words engine that
+reproduces `inflect`'s rendering conventions (inflect is not installable
+here, so the engine mirrors its enword/hundfn/tenfn semantics):
+
+  * hyphenated tens-units compounds ('fifty-six', 'twenty-first'),
+  * ', ' between 3-digit scale groups ('three thousand, four hundred
+    fifty-six') — the comma is a real g2p pause token, so keeping it
+    matters for parity,
+  * the and-word joins the final sub-hundred group and splices between
+    'hundred' and its remainder; the reference passes andword='' for
+    cardinals ('one thousand one') and the inflect DEFAULT 'and' for
+    ordinals ('101st' -> 'one hundred and first'),
+  * ordinals by suffix rewrite on the last word ('twenty-one' ->
+    'twenty-first', 'sixty' -> 'sixtieth').
 
 Flow parity matters more than it looks: the reference expands dollars/
 pounds/decimals to DIGIT strings and lets the final `_number_re` pass
-render words — so '$1,234' reads year-style ('twelve thirty four
+render words — so '$1,234' reads year-style ('twelve thirty-four
 dollars'), '3.14' reads 'three point fourteen' (fraction as a cardinal,
-'0.05' loses its leading zero), and '1 dollar, 1 cent' keeps the comma
-(a real pause token). This module follows the same two-phase flow.
-(The reference's own tests/test_number_utils.py expects different
-strings — e.g. '1,234' -> 'one thousand...' — but its code produces the
-year-style form; we match the code, which is what a user runs. Note the
-reference never wires normalize_numbers into a cleaner: it is a tested
-standalone utility there, and here.)
+'0.05' loses its leading zero), and '1 dollar, 1 cent' keeps the comma.
+This module follows the same two-phase flow.
+(The reference's own tests/test_number_utils.py expects strings its code
+never produces — e.g. '1st' -> 'one' where inflect renders 'first' — we
+match the code, which is what a user runs. Note the reference never wires
+normalize_numbers into a cleaner: it is a tested standalone utility there,
+and here.)
+
+Known divergence: inflect raises OutOfRange past decillion (10^36); we
+render the overflow head as a recursive decillion multiple instead of
+crashing text normalization.
 """
 
 from __future__ import annotations
@@ -32,17 +46,19 @@ _TENS = [
     "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
     "eighty", "ninety",
 ]
-_SCALES = [
-    (10**12, "trillion"),
-    (10**9, "billion"),
-    (10**6, "million"),
-    (10**3, "thousand"),
-    (10**2, "hundred"),
+# scale word per 3-digit group index (inflect's mill table)
+_SCALE_WORDS = [
+    "", "thousand", "million", "billion", "trillion", "quadrillion",
+    "quintillion", "sextillion", "septillion", "octillion", "nonillion",
+    "decillion",
 ]
-_ORDINAL_SPECIAL = {
-    "one": "first", "two": "second", "three": "third", "five": "fifth",
-    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
-}
+# inflect ordinalizes words by rewriting the longest matching suffix of the
+# LAST word ('twenty-one' -> 'twenty-first', 'sixty' -> 'sixtieth')
+_ORDINAL_SUFFIXES = [
+    ("ty", "tieth"), ("one", "first"), ("two", "second"),
+    ("three", "third"), ("five", "fifth"), ("eight", "eighth"),
+    ("nine", "ninth"), ("twelve", "twelfth"),
+]
 
 _comma_number_re = re.compile(r"([0-9][0-9\,]+[0-9])")
 _decimal_number_re = re.compile(r"([0-9]+\.[0-9]+)")
@@ -52,46 +68,85 @@ _ordinal_re = re.compile(r"[0-9]+(st|nd|rd|th)")
 _number_re = re.compile(r"[0-9]+")
 
 
-def number_to_words(n: int) -> str:
-    """Integer -> English words ('1234' -> 'one thousand two hundred thirty four')."""
-    if n < 0:
-        return "minus " + number_to_words(-n)
+def _tens_units(n: int) -> str:
+    """1..99 with inflect's hyphen: 56 -> 'fifty-six'."""
     if n < 20:
         return _UNITS[n]
-    if n < 100:
-        tens, unit = divmod(n, 10)
-        return _TENS[tens] + (" " + _UNITS[unit] if unit else "")
-    for scale, name in _SCALES:
-        if n >= scale:
-            head, rest = divmod(n, scale)
-            out = number_to_words(head) + " " + name
-            if rest:
-                out += " " + number_to_words(rest)
-            return out
-    raise ValueError(n)  # pragma: no cover
+    tens, unit = divmod(n, 10)
+    return _TENS[tens] + ("-" + _UNITS[unit] if unit else "")
+
+
+def _group_words(n: int, andword: str) -> str:
+    """1..999; andword splices between 'hundred' and the remainder
+    (inflect hundfn): 101 -> 'one hundred and one' / 'one hundred one'."""
+    h, r = divmod(n, 100)
+    if h and r:
+        sep = f" {andword} " if andword else " "
+        return f"{_UNITS[h]} hundred{sep}{_tens_units(r)}"
+    if h:
+        return f"{_UNITS[h]} hundred"
+    return _tens_units(r)
+
+
+def number_to_words(n: int, andword: str = "") -> str:
+    """Integer -> English words, inflect-style: 3-digit groups joined by
+    ', ', except a final group < 100 joins via the andword ('one thousand
+    and one' / andword='': 'one thousand one'). 1234 -> 'one thousand,
+    two hundred thirty-four' (andword='')."""
+    if n < 0:
+        return "minus " + number_to_words(-n, andword)
+    if n == 0:
+        return "zero"
+    if n >= 10 ** (3 * len(_SCALE_WORDS)):
+        head, rest = divmod(n, 10 ** (3 * (len(_SCALE_WORDS) - 1)))
+        out = number_to_words(head, andword) + " " + _SCALE_WORDS[-1]
+        return out + (", " + number_to_words(rest, andword) if rest else "")
+
+    groups = []  # (value, scale_index), most-significant first
+    idx = 0
+    while n:
+        n, g = divmod(n, 1000)
+        if g:
+            groups.append((g, idx))
+        idx += 1
+    groups.reverse()
+
+    parts = []
+    for g, i in groups:
+        words = _group_words(g, andword)
+        parts.append(words + (" " + _SCALE_WORDS[i] if i else ""))
+    if len(parts) > 1 and groups[-1][1] == 0 and groups[-1][0] < 100:
+        # final bare sub-hundred group: ', one' -> ' and one' (inflect's
+        # COMMA_WORD rule; single hyphenated compounds count as one word)
+        last_sep = f" {andword} " if andword else " "
+        return ", ".join(parts[:-1]) + last_sep + parts[-1]
+    return ", ".join(parts)
+
+
+def ordinalize_words(words: str) -> str:
+    """Suffix rewrite on the final word (inflect.ordinal word path)."""
+    for suf, rep in _ORDINAL_SUFFIXES:
+        if words.endswith(suf):
+            return words[: -len(suf)] + rep
+    return words + "th"
 
 
 def number_to_ordinal_words(n: int) -> str:
-    words = number_to_words(n).split(" ")
-    last = words[-1]
-    if last in _ORDINAL_SPECIAL:
-        words[-1] = _ORDINAL_SPECIAL[last]
-    elif last.endswith("y"):
-        words[-1] = last[:-1] + "ieth"
-    else:
-        words[-1] = last + "th"
-    return " ".join(words)
+    # the reference's _expand_ordinal calls number_to_words with DEFAULT
+    # arguments, so ordinals keep inflect's andword='and'
+    return ordinalize_words(number_to_words(n, andword="and"))
 
 
 def _two_digit_groups(n: int) -> str:
-    """Year-style reading by 2-digit groups: 1984 -> 'nineteen eighty four'."""
+    """Year-style reading by 2-digit groups: 1984 -> 'nineteen eighty-four'
+    (inflect group=2, zero='oh'; the reference strips the group commas)."""
     s = str(n)
     if len(s) % 2:
         s = "0" + s
     groups = [int(s[i : i + 2]) for i in range(0, len(s), 2)]
     words = []
     for g in groups:
-        words.append("oh " + _UNITS[g] if 0 < g < 10 else number_to_words(g))
+        words.append("oh " + _UNITS[g] if 0 < g < 10 else _tens_units(g))
     return " ".join(words)
 
 

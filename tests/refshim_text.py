@@ -27,7 +27,6 @@ from __future__ import annotations
 import builtins
 import importlib.machinery
 import os
-import re
 import sys
 import types
 
@@ -147,32 +146,54 @@ def _install_g2p_en():
     sys.modules["g2p_en"] = mod
 
 
-_PUNCTS = ["!", "?", "…", ",", ".", "'", "-"]
-_TOKEN_RE = re.compile(r"[A-Za-z']+|[{}]".format(re.escape("".join(_PUNCTS))))
-
-
 class _StubDebertaTokenizer:
     """Sentencepiece-shaped regex tokenizer: '▁' + word, bare punctuation.
 
     Emits whole words as single pieces, so the reference's subword
     grouping (english/g2p.py::text_to_words) reduces to one-token words —
-    exactly what jyutvoice_tpu.text.english's regex fallback produces.
+    exactly what jyutvoice_tpu.text.english's regex fallback produces
+    (same punctuation set and token regex, imported — not copied — so the
+    shim cannot drift from the fallback it mirrors).
     """
+
+    _real_cls = None  # original transformers.DebertaV2Tokenizer
 
     @classmethod
     def from_pretrained(cls, path, *a, **kw):
+        # Prefer a REAL tokenizer when this environment can actually load
+        # one (sentencepiece + model files present) so both the reference
+        # and jyutvoice_tpu.text.english — whose lazy
+        # `from transformers import DebertaV2Tokenizer` also resolves to
+        # this patched attribute — keep using the genuine article; fall
+        # back to the regex stub otherwise.
+        if cls._real_cls is not None:
+            try:
+                return cls._real_cls.from_pretrained(path, *a, **kw)
+            except Exception:
+                pass
         return cls()
 
     def tokenize(self, text):
+        from jyutvoice_tpu.text.english import _FALLBACK_TOKEN_RE
+        from jyutvoice_tpu.text.symbols import punctuations
+
         return [
-            t if t in _PUNCTS else "▁" + t
-            for t in _TOKEN_RE.findall(text)
+            t if t in punctuations else "▁" + t
+            for t in _FALLBACK_TOKEN_RE.findall(text)
         ]
 
 
 def _patch_deberta():
     import transformers
 
+    try:
+        # transformers resolves this attr lazily; a missing-backend
+        # placeholder is fine (its from_pretrained raises -> stub)
+        _StubDebertaTokenizer._real_cls = getattr(
+            transformers, "DebertaV2Tokenizer", None
+        )
+    except Exception:
+        _StubDebertaTokenizer._real_cls = None
     transformers.DebertaV2Tokenizer = _StubDebertaTokenizer
 
 

@@ -25,10 +25,15 @@ Known deliberate divergences (documented in PARITY.md):
     load (self-consistent either way) — not cross-comparable, not tested.
 """
 
+import os
+
 import numpy as np
 import pytest
 import refshim
 import refshim_text
+
+if not os.path.isdir(refshim_text.REF_PATH):  # pragma: no cover
+    pytest.skip("reference checkout not present", allow_module_level=True)
 
 refshim.install()
 refshim_text.install()

@@ -182,9 +182,16 @@ def test_intersperse():
     "inp,expect",
     [
         # in (1000, 3000) the reference reads numbers year-style (group=2)
-        ("1,234", "twelve thirty four"),
-        ("3,456", "three thousand four hundred fifty six"),
+        ("1,234", "twelve thirty-four"),
+        # inflect keeps ', ' between 3-digit scale groups and hyphenates
+        # tens-units compounds (andword='' in the cardinal pass)
+        ("3,456", "three thousand, four hundred fifty-six"),
         ("4,000", "four thousand"),
+        ("1001", "ten oh one"),  # the (1000, 3000) year branch catches it
+        ("5001", "five thousand one"),
+        ("3101", "three thousand, one hundred one"),
+        ("1234567", "one million, two hundred thirty-four thousand, "
+                    "five hundred sixty-seven"),
         # decimals: fraction rendered as a CARDINAL by the final number
         # pass (reference flow), not digit-by-digit; '0.05' loses its
         # leading zero exactly like the reference does
@@ -196,16 +203,20 @@ def test_intersperse():
         ("$0.50", "fifty cents"),
         # money amounts in (1000, 3000) read year-style: the reference
         # emits digits and its final pass applies the year rule
-        ("$1,234", "twelve thirty four dollars"),
+        ("$1,234", "twelve thirty-four dollars"),
         ("£20", "twenty pounds"),
-        ("£1984", "nineteen eighty four pounds"),
+        ("£1984", "nineteen eighty-four pounds"),
+        # ordinals go through inflect's DEFAULT andword ('and')
         ("1st", "first"),
         ("3rd", "third"),
-        ("22nd", "twenty second"),
+        ("22nd", "twenty-second"),
+        ("60th", "sixtieth"),
+        ("101st", "one hundred and first"),
+        ("1001st", "one thousand and first"),
         ("2000", "two thousand"),
         ("2003", "two thousand three"),
         ("1900", "nineteen hundred"),
-        ("1984", "nineteen eighty four"),
+        ("1984", "nineteen eighty-four"),
         ("17", "seventeen"),
     ],
 )
