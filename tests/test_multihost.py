@@ -1,8 +1,14 @@
-"""dist/multihost.py: env-var parsing and the single-process no-op branch
-(the multi-process branch needs real multi-host hardware; here we assert the
-decision logic and that initialize() is invoked with the parsed values)."""
+"""dist/multihost.py: env-var parsing, the single-process no-op branch, and
+a REAL 2-process jax.distributed run (two OS processes, 1 CPU device each,
+Gloo collectives over localhost) compared against a single-process step."""
+
+import json
+import os
+import subprocess
+import sys
 
 import jax
+import numpy as np
 import pytest
 
 from jyutvoice_tpu.dist.multihost import global_batch_sharding, init_distributed
@@ -74,3 +80,61 @@ def test_global_batch_sharding_single_device():
     mesh, sharding = global_batch_sharding()
     assert mesh.devices.size >= 1
     assert sharding is not None
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single(tmp_path):
+    """True multi-host: two OS processes (1 device each) run one DP train
+    step over a cross-process mesh; loss/grad-norm/updated-param
+    fingerprints must match this process's single-device run of the same
+    global batch (XLA all-reduces ride Gloo instead of ICI here)."""
+    import _multihost_worker as worker
+
+    out = tmp_path / "mh.json"
+    port = 13000 + os.getpid() % 10000
+    env = dict(os.environ)
+    # the workers force their own 1-device CPU platform; scrub the parent
+    # suite's 8-virtual-device flag so it cannot leak in
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    # conftest puts the repo root on the PARENT's sys.path only; append for
+    # the workers (never overwrite — the axon site rides PYTHONPATH)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    script = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", str(port), str(out)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    logs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    result = json.loads(out.read_text())
+    assert result["process_count"] == 2
+
+    # single-process baseline on the identical state/batch
+    state, step, batch = worker.build_state_step_batch()
+    new_state, metrics = jax.jit(step)(
+        state, jax.random.PRNGKey(1), batch
+    )
+    base = worker.summarize(new_state, metrics["loss"], metrics["grad_norm"])
+
+    assert np.isfinite(result["loss"])
+    np.testing.assert_allclose(result["loss"], base["loss"], rtol=1e-4)
+    np.testing.assert_allclose(
+        result["grad_norm"], base["grad_norm"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        result["checksum"], base["checksum"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        result["sample"], base["sample"], atol=1e-5, rtol=1e-4
+    )
