@@ -42,18 +42,21 @@ _SYLLABLE_RE = re.compile(r"^([a-zA-Z]+)([0-9])$")
 
 
 def split_pinyin_syllable(syllable: str) -> Tuple[str, str]:
-    """Split 'hao3' -> ('h', 'ao3'); returns (syllable, syllable) for
-    non-pinyin.
+    """Split 'hao3' -> ('h', 'ao3'); returns ('', syllable) for non-pinyin.
 
-    Anything not matching letters+digit passes through with initial ==
-    final, mirroring pypinyin's behavior on non-hanzi (and
-    readings.split_pinyin_loose): pinyin_to_phonemes' punctuation branch
-    keys on `initial == final`, so punctuation gets syllable_pos=0
-    consistently across raw-text and explicit-pinyin input modes.
+    Anything not matching letters+digit comes back with an EMPTY initial,
+    mirroring the reference's splitter (mandarin/g2p.py:22-28 "Treat as
+    punctuation or invalid syllable"). Downstream this is a deliberate
+    reference quirk: pinyin_to_phonemes' punctuation branch keys on
+    `initial == final`, which ('', '?') does NOT satisfy — so explicit-
+    pinyin punctuation takes the syllable branch and gets syllable_pos=1,
+    while raw-text punctuation (pypinyin returns the char for BOTH styles)
+    gets syllable_pos=0. Replicated, not fixed (cross-checked live in
+    tests/test_text_crossref.py).
     """
     m = _SYLLABLE_RE.match(syllable)
     if m is None:
-        return syllable, syllable
+        return "", syllable
     body, tone = m.group(1).lower(), m.group(2)
 
     if body in _WHOLE_SYLLABLE:

@@ -110,3 +110,92 @@ def test_multilingual_starts_chinese():
 )
 def test_edge_cases(text, lang):
     _assert_same(text, lang)
+
+
+# ---------------------------------------------------------------------------
+# Seeded property sweep: hundreds of RANDOM inputs per mode, built from the
+# very tables both sides share, so any assembly divergence (tone parsing,
+# word_pos grouping, padding, punctuation routing) surfaces on inputs no one
+# hand-picked. Deterministic seed -> reproducible failures.
+# ---------------------------------------------------------------------------
+
+import random  # noqa: E402
+
+from jyutvoice_tpu.text import data_jyutping, data_pinyin  # noqa: E402
+from jyutvoice_tpu.text.english import get_dict  # noqa: E402
+
+_PUNCT = [",", ".", "!", "?"]
+
+
+def _random_cjk_words(rng, chars, n_words):
+    """List of 1-3 char 'words' sampled from a bundled reading table."""
+    return [
+        "".join(rng.choices(chars, k=rng.randint(1, 3)))
+        for _ in range(n_words)
+    ]
+
+
+def test_property_yue_raw_and_explicit():
+    rng = random.Random(0xA11CE)
+    # single-char entries only: the tables also carry multi-char words
+    # whose constituent chars may have no standalone reading
+    chars = sorted(k for k in data_jyutping.CHARS if len(k) == 1)
+    for _ in range(40):
+        words = _random_cjk_words(rng, chars, rng.randint(1, 5))
+        if rng.random() < 0.4:
+            words.append(rng.choice(_PUNCT))
+        text = " ".join(words)
+        _assert_same(text, "yue")  # raw-hanzi path
+        # explicit path validates one syllable per char — punctuation
+        # included (it rides the phone string as itself)
+        phone = " ".join(
+            data_jyutping.CHARS.get(c, c) for w in words for c in w
+        )
+        _assert_same(text, "yue", phone)  # explicit-jyutping path
+
+
+def test_property_zh_raw_and_explicit():
+    rng = random.Random(0xB0BA)
+    chars = sorted(k for k in data_pinyin.CHARS if len(k) == 1)
+    for _ in range(40):
+        words = _random_cjk_words(rng, chars, rng.randint(1, 5))
+        if rng.random() < 0.4:
+            words.append(rng.choice(_PUNCT))
+        text = " ".join(words)
+        _assert_same(text, "zh")
+        syls = [data_pinyin.CHARS.get(c, c) for w in words for c in w]
+        # neutral-tone table readings are toneless ('me') — explicit input
+        # requires a tone digit on BOTH sides (the reference's splitter
+        # regex rejects toneless syllables into a crashing corner)
+        if all(s[-1].isdigit() or s in _PUNCT for s in syls):
+            _assert_same(text, "zh", " ".join(syls))
+
+
+def test_property_en_raw():
+    rng = random.Random(0xCAFE)
+    words = sorted(
+        w for w in get_dict() if w.isalpha() and w.isascii() and len(w) > 1
+    )
+    for _ in range(40):
+        picks = [rng.choice(words).lower() for _ in range(rng.randint(2, 7))]
+        if rng.random() < 0.5:
+            picks.insert(rng.randrange(len(picks) + 1), rng.choice(_PUNCT))
+        _assert_same(" ".join(picks), "en")
+
+
+def test_property_multilingual_mixed():
+    rng = random.Random(0xD1CE)
+    yue_chars = sorted(data_jyutping.CHARS)
+    en_words = sorted(
+        w for w in get_dict() if w.isalpha() and w.isascii() and len(w) > 1
+    )
+    for _ in range(40):
+        parts = []
+        for _ in range(rng.randint(2, 5)):
+            if rng.random() < 0.5:
+                parts.append("".join(rng.choices(yue_chars, k=rng.randint(1, 3))))
+            else:
+                parts.append(rng.choice(en_words).lower())
+            if rng.random() < 0.25:
+                parts.append(rng.choice(_PUNCT))
+        _assert_same(" ".join(parts), "multilingual")

@@ -109,11 +109,12 @@ def test_cantonese_g2p_punctuation():
         ("yuan2", ("", "van2")),
         ("er2", ("", "er2")),
         ("zhi4", ("zh", "i4")),
-        # punctuation passes through with initial == final (pypinyin's
-        # non-hanzi behavior): pinyin_to_phonemes' punctuation branch keys
-        # on initial == final, giving syllable_pos=0 like the raw-text path
-        ("!", ("!", "!")),
-        (".", (".", ".")),
+        # non-pinyin comes back with an EMPTY initial (reference
+        # mandarin/g2p.py:22-28); the explicit path then gives punctuation
+        # syllable_pos=1 — a reference quirk the raw path (pypinyin emits
+        # the char for both styles -> initial == final -> 0) does not share
+        ("!", ("", "!")),
+        (".", ("", ".")),
     ],
 )
 def test_split_pinyin_syllable(syl, expect):
@@ -127,9 +128,10 @@ def test_mandarin_g2p_with_pinyin():
     assert phones == ["_", "n", "i", "h", "ao", "sh", "i", "j", "ie", "!", "_"]
     assert tones == [0, 3, 3, 3, 3, 4, 4, 4, 4, 0, 0]
     assert lang_ids == [1] * len(phones)
-    # punctuation gets the punctuation position label (0), matching the
-    # raw-text path's features for identical text
-    assert syllable_pos[-2] == 0
+    # reference quirk (replicated): explicit-pinyin punctuation takes the
+    # syllable branch — ('', '!') fails the initial==final punctuation
+    # check — so it gets position 1, unlike the raw-text path's 0
+    assert syllable_pos[-2] == 1
     # all phones exist in the symbol table
     assert all(p in symbol_to_id for p in phones)
 
