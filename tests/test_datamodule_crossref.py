@@ -184,3 +184,67 @@ def test_short_decoder_h_trim_quirk(pipelines):
     assert ex["mel"].shape[0] == 20  # 2 * min(75 // 2, 10)
     assert ex["decoder_h"].shape[0] == 20  # zero-padded past frame 10
     assert np.all(ex["decoder_h"][10:] == 0)
+
+
+def test_property_random_rows(pipelines):
+    """Seeded sweep of random rows across the branch space: audio lengths
+    off the hop grid, decoder_h around the trim-quirk boundary (shorter /
+    equal / longer than mel_frames//ratio), spk_emb present/absent, raw
+    vs explicit-phone text — datapoints must match the reference's."""
+    import random
+
+    ref_ds, ref_collate, cfg, mel = pipelines
+    rng = random.Random(0xDA7A)
+    nrng = np.random.default_rng(0xDA7A)
+    texts = [
+        ("佢", "yue", "keoi5"),
+        ("你好", "zh", "ni3 hao3"),
+        ("hello", "en", None),
+        ("世界 好", "yue", "sai3 gaai3 hou2"),
+    ]
+    pairs = []
+    for i in range(14):
+        text, lang, phone = rng.choice(texts)
+        n_samples = rng.randrange(24000, 90000)
+        wav = _audio(n_samples, 100 + i)
+        ref_row = {
+            "text": text, "lang": lang, "phone": phone,
+            "audio": {"array": wav, "path": None, "sampling_rate": SR},
+        }
+        our_row = {"text": text, "lang": lang, "phone": phone, "audio": wav}
+        if rng.random() < 0.5:
+            spk = nrng.standard_normal(192).astype(np.float32)
+            ref_row["spk_emb"] = spk
+            our_row["spk_emb"] = spk
+        if rng.random() < 0.7:
+            mel_frames = n_samples // 480
+            # below / at / above the mel_frames//ratio boundary
+            dh_frames = max(1, mel_frames // 2 + rng.randrange(-12, 13))
+            dh = nrng.standard_normal((dh_frames, 80)).astype(np.float32)
+            ref_row["decoder_h"] = dh
+            our_row["decoder_h"] = dh
+        pairs.append((ref_row, our_row))
+
+    for ref_row, our_row in pairs:
+        dp = ref_ds.get_datapoint(ref_row)
+        ex = row_to_example(our_row, cfg, mel_fn=mel)
+        label = f"{ref_row['text']} n={len(our_row['audio'])}"
+        assert (dp is None) == (ex is None), label
+        if dp is None:
+            continue
+        assert list(np.asarray(dp["x"])) == list(ex["x"]), label
+        ref_mel = np.asarray(dp["y"]).T
+        assert ref_mel.shape == ex["mel"].shape, label
+        np.testing.assert_allclose(ref_mel, ex["mel"], atol=5e-4, rtol=0)
+        # the reference datapoint leaves a short decoder_h UNPADDED
+        # (collate zero-pads later); we pad at load — same post-collate
+        ref_dh = np.asarray(dp["decoder_h"])
+        L = ref_dh.shape[0]
+        assert ex["decoder_h"].shape[0] == ex["mel"].shape[0], label
+        np.testing.assert_allclose(
+            ref_dh, ex["decoder_h"][:L], atol=0, err_msg=label
+        )
+        assert np.all(ex["decoder_h"][L:] == 0), label
+        np.testing.assert_allclose(
+            np.asarray(dp["spk_emb"]), ex["spk_emb"], atol=0, err_msg=label
+        )
