@@ -223,7 +223,6 @@ class PromptExtractor:
         campplus_onnx: Optional[str] = None,
         tokenizer_onnx: Optional[str] = None,
         tokenizer_torch: Optional[str] = None,
-        token_mel_ratio: int = 2,
         streaming_encoder: bool = False,
         streaming_t_max: int = 1024,
     ):
@@ -232,7 +231,6 @@ class PromptExtractor:
         self.tokenizer = SpeechTokenizer(tokenizer_onnx, torch_path=tokenizer_torch)
         self.flow_encoder_params = flow_encoder_params
         self.flow_encoder_cfg = flow_encoder_cfg or FlowEncoderConfig()
-        self.token_mel_ratio = token_mel_ratio
         # incremental KV-cached encoding: jits once, O(chunk) per chunk —
         # use when tokens arrive as a stream or prompts vary wildly in length
         self.streaming_encoder = streaming_encoder
@@ -300,8 +298,9 @@ class PromptExtractor:
                     jnp.asarray([len(tokens)], jnp.int32),
                 )
                 prompt_h = np.asarray(h)[0, : int(np.asarray(h_len)[0])]
-            # align prompt mel and hidden lengths (token_mel_ratio trim,
-            # reference data prep semantics)
+            # align prompt mel and hidden lengths (the flow encoder already
+            # upsamples tokens x2, so both are at mel frame rate; min() is
+            # the reference data-prep trim semantics)
             t = min(prompt_feat.shape[0], prompt_h.shape[0])
             prompt_feat = prompt_feat[:t]
             prompt_h = prompt_h[:t]

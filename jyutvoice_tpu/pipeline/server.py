@@ -32,6 +32,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from jyutvoice_tpu.pipeline import buckets as bkt
+
 
 @dataclasses.dataclass
 class ServeStats:
@@ -230,19 +232,39 @@ class ServingEngine:
         dispatch would fail every co-batched future. The prep is cached on
         the item so synthesize_batch_dispatch does not redo it.
         """
-        from jyutvoice_tpu.pipeline import buckets as bkt
 
         ok = []
+        spk_dim = self.synth.cfg.tts.spk_embed_dim
         for req in group:
             try:
                 it = req.item
                 pf = it.get("prompt_feat")
+                ph = it.get("prompt_h")
+                if (pf is None) != (ph is None):
+                    raise ValueError(
+                        "voice cloning needs BOTH prompt_feat and prompt_h "
+                        "(PromptExtractor returns the pair); got only one"
+                    )
+                if pf is not None and len(pf) != len(ph):
+                    raise ValueError(
+                        f"prompt_feat ({len(pf)} frames) and prompt_h "
+                        f"({len(ph)} frames) must be aligned"
+                    )
                 if pf is not None and len(pf) > bkt.PROMPT_BUCKETS[-1]:
                     raise ValueError(
                         f"cloning prompt is {len(pf)} mel frames; the "
                         f"largest prompt bucket is {bkt.PROMPT_BUCKETS[-1]} "
                         f"(~{bkt.PROMPT_BUCKETS[-1] // 50} s) — trim the "
                         "reference audio"
+                    )
+                spk = it.get("spk_embed")
+                if spk is not None and np.asarray(spk).shape != (spk_dim,):
+                    # a malformed spk vector would otherwise raise a numpy
+                    # broadcast error inside the BATCHED dispatch, failing
+                    # every co-batched request
+                    raise ValueError(
+                        f"spk_embed must have shape ({spk_dim},); got "
+                        f"{np.asarray(spk).shape}"
                     )
                 it["_prepped"] = self.synth.prepare_text(
                     it["text"], it.get("lang", "yue"), it.get("phone")
@@ -253,16 +275,21 @@ class ServingEngine:
         return ok
 
     def _dispatch_sub(self, sub: List[_Request], finals, ok_group) -> None:
-        """Dispatch one subgroup, isolating per-request failures: culprit
-        requests (over-long items, noise-cap prompt items) are failed
-        individually and the innocent rest is re-dispatched."""
+        """Dispatch one subgroup, isolating per-request failures: over-long
+        items are failed individually and the innocent rest re-dispatched;
+        a noise-cap group is SPLIT (prompt items re-dispatched in their own
+        group, where the mel bucket is their own longest item) and only
+        fails requests the cap applies to intrinsically."""
         from jyutvoice_tpu.pipeline.synthesize import (
             NoiseBufferExceeded,
             OverLongBatchItems,
         )
 
-        attempt = list(sub)
-        while attempt:
+        work = [list(sub)]
+        while work:
+            attempt = work.pop()
+            if not attempt:
+                continue
             try:
                 finals.append(
                     self.synth.synthesize_batch_dispatch(
@@ -275,30 +302,37 @@ class ServingEngine:
                 )
                 ok_group.extend(attempt)
                 self.stats.dispatches += 1
-                return
-            except (OverLongBatchItems, NoiseBufferExceeded) as e:
-                if isinstance(e, OverLongBatchItems):
-                    # the dispatcher identifies exactly which items
-                    # exceeded the batch mel table
-                    culprits = [attempt[i] for i in e.indices]
+            except OverLongBatchItems as e:
+                # the dispatcher identifies exactly which items exceeded
+                # the batch mel table — fail those, retry the rest
+                culprit_ids = {id(attempt[i]) for i in e.indices}
+                self._fail([r for r in attempt if id(r) in culprit_ids], e)
+                work.append(
+                    [r for r in attempt if id(r) not in culprit_ids]
+                )
+            except NoiseBufferExceeded as e:
+                # prompt bucket + mel bucket past the noise buffer is a
+                # GROUP property (mel bucket = the longest co-batched
+                # item): a short cloning request is innocent when a long
+                # prompt-free item inflated the bucket — re-dispatch each
+                # half in its own group. Only a prompt group that exceeds
+                # the cap on its OWN mel bucket fails (rest empty on the
+                # re-attempt).
+                prompts = [
+                    r for r in attempt
+                    if r.item.get("prompt_feat") is not None
+                ]
+                rest = [
+                    r for r in attempt
+                    if r.item.get("prompt_feat") is None
+                ]
+                if prompts and rest:
+                    work.append(rest)
+                    work.append(prompts)
                 else:
-                    # prompt bucket + mel bucket past the noise buffer is
-                    # a GROUP property (mel bucket = the longest item):
-                    # fail only the prompt-bearing culprits, not innocent
-                    # co-batched items
-                    culprits = [
-                        r for r in attempt
-                        if r.item.get("prompt_feat") is not None
-                    ]
-                if not culprits:
                     self._fail(attempt, e)
-                    return
-                self._fail(culprits, e)
-                failed = {id(r) for r in culprits}
-                attempt = [r for r in attempt if id(r) not in failed]
             except Exception as e:  # noqa: BLE001
                 self._fail(attempt, e)
-                return
 
     def _finalize(self, group: List[_Request], finalize) -> None:
         try:
@@ -356,7 +390,6 @@ class ServingEngine:
             # request would otherwise fail at the mel bucket table — and
             # co-batching two of them would fail BOTH, so every long
             # request routes individually, not just singletons)
-            from jyutvoice_tpu.pipeline import buckets as bkt
 
             long_reqs = [
                 r for r in group

@@ -311,6 +311,11 @@ class StreamingSynthesizer:
         # CausalConditionalCFM whole-utterance streaming semantics,
         # flow_matching.py:391-401)
         self.est_masks = estimator_chunk_masks
+        # samples the VOCODER emits per mel frame (= prod(upsample_rates)
+        # * istft hop, 480 for the stock config) — all chunk slicing keys
+        # off this, never a literal, so a non-480 hift config can't
+        # silently misalign emitted samples with mel frames
+        self.spf = cfg.hift.total_upsample
         self._step_fn = None
 
     # -- compiled graph -------------------------------------------------------
@@ -334,6 +339,7 @@ class StreamingSynthesizer:
         """
         cfg = self.cfg.tts
         hift_cfg = self.cfg.hift
+        spf = self.spf  # vocoder samples per mel frame
         p = self.p_len
         seg = p + OVERLAP + self.chunk
         cap = OVERLAP + self.chunk  # max regen+fresh frames per chunk
@@ -416,7 +422,7 @@ class StreamingSynthesizer:
             # = rows [l_emit, l_emit+OVERLAP) of voc_in
             new_tail = jax.lax.dynamic_slice(voc_in, (l_emit, 0), (OVERLAP, 80))
             new_src = jax.lax.dynamic_slice(
-                src, (0, l_emit * 480, 0), (1, OVERLAP * 480, 1)
+                src, (0, l_emit * spf, 0), (1, OVERLAP * spf, 1)
             )[0]
             upd = l_emit > 0
             new_tail = jnp.where(upd, new_tail, prev_voc_tail)
@@ -427,7 +433,7 @@ class StreamingSynthesizer:
             # over the tunneled link. Optional on-device PCM16 halves the
             # bytes again (serving's wav-file-native format).
             wav_emit = jax.lax.slice_in_dim(
-                wav[0], OVERLAP * 480, (OVERLAP + cap) * 480, axis=0
+                wav[0], OVERLAP * spf, (OVERLAP + cap) * spf, axis=0
             )
             if self.pcm16:
                 wav_emit = jnp.round(
@@ -484,7 +490,7 @@ class StreamingSynthesizer:
         # RE-generates these positions from the cached z/mu and the two
         # versions are crossfaded (reference fade_in_out, utils/common.py:181-191)
         voc_tail = jnp.zeros((OVERLAP, 80), jnp.float32)
-        src_cache = jnp.zeros((1, OVERLAP * 480, 1), jnp.float32)
+        src_cache = jnp.zeros((1, OVERLAP * self.spf, 1), jnp.float32)
         seg = p + OVERLAP + self.chunk
         while st["pos"] < st["mu_y"].shape[0]:
             mu_seg = np.zeros((1, seg, 80), np.float32)
@@ -512,7 +518,7 @@ class StreamingSynthesizer:
                 # the single host readback per chunk (core already sliced
                 # to the emit window on-device)
                 wav = np.asarray(wav)
-                wav_chunk = wav[: l_emit * 480]
+                wav_chunk = wav[: l_emit * self.spf]
                 if emit_mel:
                     yield wav_chunk, np.asarray(mel_out)[:l_emit]
                 else:
@@ -559,7 +565,7 @@ class MultiStreamSynthesizer:
         s = max_sessions
         self._held = jnp.zeros((s, OVERLAP, 80), jnp.float32)
         self._voc_tail = jnp.zeros((s, OVERLAP, 80), jnp.float32)
-        self._src = jnp.zeros((s, OVERLAP * 480, 1), jnp.float32)
+        self._src = jnp.zeros((s, OVERLAP * self._ss.spf, 1), jnp.float32)
         self._spk = np.zeros((s, 80), np.float32)
         self._sessions: list = [None] * s  # per-slot host state or None
         self._pending = None  # (plan, device wav) of the last dispatch
@@ -709,7 +715,7 @@ class MultiStreamSynthesizer:
         for sid, (_n_new, l_emit, _next_held, is_last) in plan.items():
             if l_emit > 0:
                 # core already slices to the emit window on-device
-                chunks[sid] = wav_np[sid, : l_emit * 480]
+                chunks[sid] = wav_np[sid, : l_emit * self._ss.spf]
             if is_last:
                 finished.add(sid)
                 self._sessions[sid] = None

@@ -261,7 +261,7 @@ class Synthesizer:
                             wav = self._voc_fn(t_mel, pcm16)(
                                 self.params_hift, out.mel
                             )
-                            count += 1
+                            count += 2  # mel + vocoder: two XLA programs
         if wav is not None:
             # one honest fence (readback; block_until_ready lies over the
             # tunneled platform) so warmup returns only once the device has
@@ -337,6 +337,14 @@ class Synthesizer:
         t_mel = bkt.pick_bucket(max(y_len, 1), bkt.MEL_BUCKETS)
 
         # prompt padding
+        if (prompt_feat is None) != (prompt_h is None):
+            # falling through to the no-prompt branch here would return
+            # UN-CLONED audio with success status (streaming._init_session
+            # raises on the same mistake; so must the batch-1 entry point)
+            raise ValueError(
+                "voice cloning needs BOTH prompt_feat and prompt_h "
+                "(PromptExtractor returns the pair); got only one"
+            )
         if prompt_feat is not None and prompt_h is not None:
             p_len = prompt_feat.shape[0]
             t_prompt = bkt.pick_prompt_bucket(p_len, t_mel)
@@ -422,7 +430,6 @@ class Synthesizer:
         (mu_y (T,80), c (80,), y_len) — the inputs a Streaming/MultiStream
         synthesizer session consumes. prepped= reuses a cached prepare_text
         result (skips g2p)."""
-        import jax.numpy as jnp
 
         (x, tone, word_pos, syllable_pos, lang_ids), n, t_text = (
             prepped if prepped is not None
@@ -512,7 +519,7 @@ class Synthesizer:
         ss = self._mel_fns[skey]
         total = 0
         for chunk in ss.stream(mu_y, c, prompt_feat, prompt_h):
-            emit = min(len(chunk), y_len * 480 - total)
+            emit = min(len(chunk), y_len * self.cfg.hift.total_upsample - total)
             if emit <= 0:
                 break
             yield chunk[:emit]
@@ -541,18 +548,25 @@ class Synthesizer:
         attention): (run, decoder-params device_put with SP shardings)."""
         from jyutvoice_tpu.dist.sp import sp_cfm_solve, sp_param_shardings
 
-        key = ("long_sp", id(mesh), n_timesteps, sp_attention)
-        if key not in self._mel_fns:
-            run = sp_cfm_solve(
-                self.params_tts["decoder"], self.cfg.tts.cfm, mesh,
-                n_timesteps=n_timesteps, attention=sp_attention,
-            )
-            dec = jax.device_put(
+        # key on the Mesh OBJECT (hashable, compared by devices+axes): an
+        # id() key can collide after the original mesh is garbage-collected
+        # and silently serve a solver bound to a dead mesh. The decoder
+        # device placement depends only on the mesh, so it is cached
+        # separately — warming several step counts shares ONE device copy
+        # instead of duplicating decoder HBM per (steps, attention).
+        dec_key = ("long_sp_dec", mesh)
+        if dec_key not in self._mel_fns:
+            self._mel_fns[dec_key] = jax.device_put(
                 self.params_tts["decoder"],
                 sp_param_shardings(self.params_tts["decoder"], mesh),
             )
-            self._mel_fns[key] = (run, dec)
-        return self._mel_fns[key]
+        key = ("long_sp", mesh, n_timesteps, sp_attention)
+        if key not in self._mel_fns:
+            self._mel_fns[key] = sp_cfm_solve(
+                self.params_tts["decoder"], self.cfg.tts.cfm, mesh,
+                n_timesteps=n_timesteps, attention=sp_attention,
+            )
+        return self._mel_fns[key], self._mel_fns[dec_key]
 
     def warmup_long(
         self,
@@ -580,7 +594,6 @@ class Synthesizer:
         (the default 512-multiples are valid for any power-of-2 mesh).
         Returns graphs driven.
         """
-        import jax.numpy as jnp
 
         from jyutvoice_tpu.weights.noise import rand_noise_extended
 
@@ -651,7 +664,6 @@ class Synthesizer:
         """Streaming/long text-half graph (encoder + durations + spk
         affine), cached per text bucket; shared by prepare_stream and
         warmup_long."""
-        import jax.numpy as jnp
 
         from jyutvoice_tpu.models import duration as dur_mod
         from jyutvoice_tpu.models import text_encoder as te_mod
@@ -720,7 +732,6 @@ class Synthesizer:
         240 s over the tunnel); prepped= reuses a cached prepare_text
         result (the serving engine validates the frontend per request).
         """
-        import jax.numpy as jnp
 
         from jyutvoice_tpu.weights.noise import rand_noise_extended
 
@@ -840,9 +851,7 @@ class Synthesizer:
         server where group sizes vary per window.
         Results drop the padding rows.
         """
-        import jax.numpy as jnp
 
-        from jyutvoice_tpu.pipeline import buckets as bkt
 
         b_real = len(items)
         if b_real == 0:
@@ -852,6 +861,23 @@ class Synthesizer:
         b_pad = 1 << max(b_real - 1, 0).bit_length()  # next power of two
         items = list(items) + [items[0]] * (b_pad - b_real)
         b = len(items)
+        bad_pair = [
+            i for i, it in enumerate(items[:b_real])
+            if (it.get("prompt_feat") is None) != (it.get("prompt_h") is None)
+            or (
+                it.get("prompt_feat") is not None
+                and len(it["prompt_feat"]) != len(it["prompt_h"])
+            )
+        ]
+        if bad_pair:
+            # without this, `ph[i, :k] = None` writes NaN silently and the
+            # row returns corrupted audio with success status
+            raise ValueError(
+                f"items {bad_pair} have a mismatched cloning prompt: "
+                "prompt_feat and prompt_h must be provided together with "
+                "equal frame counts (PromptExtractor returns the aligned "
+                "pair)"
+            )
         # "_prepped" lets a server validate each item's frontend individually
         # (failing only that request) before co-batching — without re-running
         # g2p here

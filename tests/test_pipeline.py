@@ -457,8 +457,9 @@ def test_warmup_compiles_bucketed_graphs(synth):
         text_buckets=(32,), mel_buckets=(128,), n_timesteps=(2,),
         batch_sizes=(1, 2), pcm16=True,
     )
-    # b=1: dur + fused + mel/voc pair = 3; b=2: dur + mel/voc pair = 2
-    assert n == 5
+    # b=1: dur + fused + mel/voc pair (two XLA programs) = 4;
+    # b=2: dur + mel/voc pair = 3
+    assert n == 7
     assert ("fused", 32, 128, 0, 2) in synth._mel_fns  # direct path (b=1)
     assert (32, 128, 0, 2) in synth._mel_fns  # engine mel graph (b=2)
     assert (128, True) in synth._voc_fns  # engine PCM16 vocoder
@@ -518,7 +519,10 @@ def test_warmup_long_sp_mesh(synth):
         mel_sizes=(128,), text_buckets=(64,), n_timesteps=(1,), mesh=mesh
     )
     assert n == 2
-    assert ("long_sp", id(mesh), 1, "scores") in synth._mel_fns
+    # keyed on the Mesh OBJECT (id() could be reused after gc); the
+    # decoder device copy is cached once per mesh, shared across steps
+    assert ("long_sp", mesh, 1, "scores") in synth._mel_fns
+    assert ("long_sp_dec", mesh) in synth._mel_fns
     with pytest.raises(ValueError, match="not divisible"):
         synth.warmup_long(
             mel_sizes=(130,), text_buckets=(), n_timesteps=(1,), mesh=mesh
@@ -541,3 +545,49 @@ def test_synthesize_prompt_past_noise_buffer_extends(synth, monkeypatch):
         n_timesteps=1,
     )
     assert res.mel_frames > 0 and np.isfinite(res.wav).all()
+
+
+def test_synthesize_rejects_half_prompt_pair(synth):
+    """prompt_feat without prompt_h must raise, not silently fall through
+    to the no-prompt branch and return UN-CLONED audio with success
+    status (streaming._init_session raises on the same mistake)."""
+    pf = np.zeros((8, 80), np.float32)
+    with pytest.raises(ValueError, match="BOTH"):
+        synth.synthesize("佢", lang="yue", phone="keoi5",
+                         prompt_feat=pf, n_timesteps=1)
+    with pytest.raises(ValueError, match="BOTH"):
+        synth.synthesize("佢", lang="yue", phone="keoi5",
+                         prompt_h=pf, n_timesteps=1)
+
+
+def test_batch_dispatch_rejects_mismatched_prompt_pair(synth):
+    """A batch item with prompt_feat but no prompt_h would write NaN rows
+    silently (numpy converts None to NaN on assignment) — the dispatch
+    must reject the item by index instead."""
+    pf = np.zeros((8, 80), np.float32)
+    good = dict(text="好", lang="yue", phone="hou2")
+    with pytest.raises(ValueError, match=r"items \[1\].*mismatched"):
+        synth.synthesize_batch_dispatch(
+            [good, dict(text="佢", lang="yue", phone="keoi5",
+                        prompt_feat=pf)],
+            n_timesteps=1,
+        )
+    with pytest.raises(ValueError, match="mismatched"):
+        synth.synthesize_batch_dispatch(
+            [dict(text="佢", lang="yue", phone="keoi5", prompt_feat=pf,
+                  prompt_h=np.zeros((9, 80), np.float32))],
+            n_timesteps=1,
+        )
+
+
+def test_streaming_samples_per_frame_derived_from_config():
+    """The streaming core's chunk slicing must key off the vocoder's
+    actual samples-per-mel-frame (cfg.hift.total_upsample), never a
+    literal 480 — a non-480 hift config would silently misalign emitted
+    samples with mel frames."""
+    from jyutvoice_tpu.pipeline.streaming import StreamingSynthesizer
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    ss = StreamingSynthesizer(TINY, params, params_hift, chunk_frames=50)
+    assert ss.spf == TINY.hift.total_upsample == 480

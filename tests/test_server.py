@@ -366,3 +366,103 @@ def test_engine_routes_long_singleton_via_synthesize_long(synth, monkeypatch):
             timeout=600
         )
     assert calls and res.mel_frames > 0
+
+
+def test_engine_bad_spk_embed_fails_only_culprit(synth):
+    """A malformed spk_embed must fail at validation time (its own
+    request), not raise a numpy broadcast error inside the BATCHED
+    dispatch where it would fail every co-batched future."""
+    with ServingEngine(
+        synth, max_batch=4, max_wait_ms=200.0, n_timesteps=2
+    ) as engine:
+        bad = engine.submit(
+            "佢", lang="yue", phone="keoi5",
+            spk_embed=np.zeros((2,), np.float32),
+        )
+        good = engine.submit("你好", lang="yue", phone="nei5 hou2")
+        with pytest.raises(ValueError, match="spk_embed"):
+            bad.result(timeout=600)
+        assert good.result(timeout=600).mel_frames > 0
+    assert engine.stats.errors == 1
+
+
+def test_engine_half_prompt_pair_fails_only_culprit(synth):
+    """prompt_feat without prompt_h must fail loudly at validation (the
+    batch dispatch would otherwise write NaN rows silently), leaving
+    co-batched requests untouched."""
+    with ServingEngine(
+        synth, max_batch=4, max_wait_ms=200.0, n_timesteps=2
+    ) as engine:
+        bad = engine.submit(
+            "佢", lang="yue", phone="keoi5",
+            prompt_feat=np.zeros((8, 80), np.float32),
+        )
+        good = engine.submit("你好", lang="yue", phone="nei5 hou2")
+        with pytest.raises(ValueError, match="BOTH"):
+            bad.result(timeout=600)
+        assert good.result(timeout=600).mel_frames > 0
+    assert engine.stats.errors == 1
+
+
+def test_engine_noise_cap_splits_mixed_group(synth, monkeypatch):
+    """NoiseBufferExceeded is a GROUP property (mel bucket = the longest
+    co-batched item): a short cloning request co-batched with a long
+    prompt-free item must be re-dispatched in its own group (where the mel
+    bucket is its own length) and SUCCEED, not hard-fail."""
+    from jyutvoice_tpu.pipeline.synthesize import NoiseBufferExceeded
+
+    real = synth.synthesize_batch_dispatch
+
+    def fake(items, **kw):
+        has_prompt = any(it.get("prompt_feat") is not None for it in items)
+        has_free = any(it.get("prompt_feat") is None for it in items)
+        if has_prompt and has_free:
+            raise NoiseBufferExceeded(
+                "prompt + mel frames exceed the noise buffer"
+            )
+        return real(items, **kw)
+
+    monkeypatch.setattr(synth, "synthesize_batch_dispatch", fake)
+    with ServingEngine(
+        synth, max_batch=4, max_wait_ms=300.0, n_timesteps=2
+    ) as engine:
+        pf = np.zeros((8, 80), np.float32)
+        cloned = engine.submit(
+            "佢", lang="yue", phone="keoi5", prompt_feat=pf, prompt_h=pf
+        )
+        free = engine.submit("你好", lang="yue", phone="nei5 hou2")
+        assert cloned.result(timeout=600).mel_frames > 0
+        assert free.result(timeout=600).mel_frames > 0
+    assert engine.stats.errors == 0
+    # the mixed group split into (at least) two real dispatches
+    assert engine.stats.dispatches >= 2
+
+
+def test_engine_noise_cap_intrinsic_prompt_failure(synth, monkeypatch):
+    """When a prompt group exceeds the cap on its OWN mel bucket (cap
+    applies intrinsically), only the prompt-bearing requests fail; the
+    prompt-free half of the original group still succeeds."""
+    from jyutvoice_tpu.pipeline.synthesize import NoiseBufferExceeded
+
+    real = synth.synthesize_batch_dispatch
+
+    def fake(items, **kw):
+        if any(it.get("prompt_feat") is not None for it in items):
+            raise NoiseBufferExceeded(
+                "prompt + mel frames exceed the noise buffer"
+            )
+        return real(items, **kw)
+
+    monkeypatch.setattr(synth, "synthesize_batch_dispatch", fake)
+    with ServingEngine(
+        synth, max_batch=4, max_wait_ms=300.0, n_timesteps=2
+    ) as engine:
+        pf = np.zeros((8, 80), np.float32)
+        cloned = engine.submit(
+            "佢", lang="yue", phone="keoi5", prompt_feat=pf, prompt_h=pf
+        )
+        free = engine.submit("你好", lang="yue", phone="nei5 hou2")
+        with pytest.raises(NoiseBufferExceeded):
+            cloned.result(timeout=600)
+        assert free.result(timeout=600).mel_frames > 0
+    assert engine.stats.errors == 1
