@@ -155,6 +155,17 @@ class MelSpec:
     def __call__(self, y: Array) -> Array:
         pad = (self.n_fft - self.hop) // 2
         y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+        return self.from_padded(y)
+
+    def from_padded(self, y: Array) -> Array:
+        """Log-mel of an already reflect-padded signal.
+
+        Batched prompt extraction pads each row host-side (per-row reflect
+        of the row's own tail — a device-side pad of the zero-padded batch
+        buffer would reflect the wrong samples for short rows) and calls
+        this on the bucketed buffer; rows are exact up to their own frame
+        count.
+        """
         spec = stft_magnitude(y, self.n_fft, self.hop, self.win_length)
         mel = jnp.dot(spec, self.mel_weights, preferred_element_type=jnp.float32)
         return jnp.log(jnp.clip(mel, min=1e-5))

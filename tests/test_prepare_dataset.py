@@ -54,6 +54,45 @@ def test_prepare_dataset_cli(tmp_path):
     assert batch["x"].shape[0] == 2
 
 
+def test_prepare_dataset_device_batch_matches_per_row(tmp_path):
+    """--device-batch output == per-row output (zeros-spk smoke path), and a
+    bad row is isolated instead of poisoning its batch."""
+    from jyutvoice_tpu.cli.prepare_dataset import main
+
+    rng = np.random.default_rng(0)
+    rows = {
+        "text": ["佢 好"] * 4,
+        "phone": ["keoi5 hou2"] * 4,
+        "lang": ["yue"] * 4,
+        "audio": [
+            {
+                "array": rng.uniform(-0.3, 0.3, n).astype(np.float32),
+                "sampling_rate": 24000,
+            }
+            # row 2 is too short for the mel frontend -> must fail alone
+            for n in (24000, 36000, 100, 24000)
+        ],
+    }
+    raw = str(tmp_path / "raw")
+    datasets.Dataset.from_dict(rows).save_to_disk(raw)
+
+    per_row = str(tmp_path / "per_row")
+    batched = str(tmp_path / "batched")
+    main(["--input", raw, "--output", per_row, "--lang", "yue"])
+    main(["--input", raw, "--output", batched, "--lang", "yue",
+          "--device-batch", "3"])
+
+    a = datasets.load_from_disk(per_row)
+    b = datasets.load_from_disk(batched)
+    assert len(a) == len(b) == 3  # the short row was dropped in both
+    for ra, rb in zip(a, b):
+        assert ra["phone_ids"] == rb["phone_ids"]
+        assert ra["spk_emb"] == rb["spk_emb"]
+        np.testing.assert_allclose(
+            np.asarray(ra["mel"]), np.asarray(rb["mel"]), atol=1e-4, rtol=1e-4
+        )
+
+
 def test_prepare_dataset_shard_and_merge(tmp_path):
     from jyutvoice_tpu.cli.prepare_dataset import main
 
