@@ -98,3 +98,54 @@ def kaldi_fbank(
     banks = _kaldi_mel_banks(num_mel_bins, padded, sample_frequency)
     mel = power @ banks.T
     return np.log(np.maximum(mel, 1.1920928955078125e-07)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Jittable batched variant (device-side DSP for fused prompt extraction)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def _fbank_dft(win: int, padded: int):
+    """(win, padded//2) cos/sin DFT matrices (bins 0..padded//2-1, matching
+    the numpy path's `[: padded // 2]` power slice)."""
+    n_bins = padded // 2
+    t = np.arange(win)[:, None]
+    k = np.arange(n_bins)[None, :]
+    angle = 2.0 * np.pi * t * k / padded
+    return (
+        np.cos(angle).astype(np.float32),
+        (-np.sin(angle)).astype(np.float32),
+    )
+
+
+def kaldi_fbank_batch(y, wav_len, num_mel_bins: int = 80):
+    """Jittable batched kaldi fbank: (B, L) zero-padded rows -> (B, T, bins).
+
+    Same semantics as `kaldi_fbank` (25 ms povey frames, 10 ms shift,
+    snip_edges, DC removal, preemphasis 0.97, HTK mel banks on a 512-point
+    FFT, natural log) vectorized over a batch; frames past each row's
+    `1 + (wav_len - 400) // 160` count are garbage to be masked downstream
+    (the CAM++ apply fn consumes the returned t_len). Framing rides the
+    reshape+shifted-slice path — no gathers.
+    """
+    import jax.numpy as jnp
+
+    from jyutvoice_tpu.audio.mel import frame_signal
+
+    win, shift = 400, 160
+    padded = _next_pow2(win)
+    frames = frame_signal(y, win, shift)  # (B, T, 400)
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+    prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+    frames = frames - 0.97 * prev
+    frames = frames * jnp.asarray(_povey_window(win), jnp.float32)
+    cos_m, sin_m = _fbank_dft(win, padded)
+    re = jnp.dot(frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    banks = _kaldi_mel_banks(num_mel_bins, padded, 16000.0)
+    mel = jnp.dot(power, jnp.asarray(banks.T), preferred_element_type=jnp.float32)
+    feat = jnp.log(jnp.maximum(mel, 1.1920928955078125e-07))
+    t_len = jnp.where(wav_len >= win, 1 + (wav_len - win) // shift, 0)
+    return feat, t_len.astype(jnp.int32)

@@ -104,21 +104,22 @@ def _windowed_dft(n_fft: int, win_length: int):
 def frame_signal(y: Array, n_fft: int, hop: int) -> Array:
     """(B, L) -> (B, T, n_fft) frames with stride `hop` (no padding).
 
-    When n_fft is a multiple of hop the framing is a reshape + R shifted
-    slices (R = n_fft/hop) — no gather, which TPUs execute poorly. Falls
-    back to an index gather otherwise.
+    Framing is a reshape + R shifted slices (R = ceil(n_fft/hop)) — never a
+    gather, which TPUs execute poorly. When hop does not divide n_fft the
+    frames are built ceil-width and sliced back to n_fft (the zero
+    right-pad this may add is only ever read into the sliced-off columns).
     """
     b, length = y.shape
     n_frames = 1 + (length - n_fft) // hop
-    if n_fft % hop == 0:
-        r = n_fft // hop
-        need = hop * (n_frames - 1 + r)
-        ph = y[:, :need].reshape(b, n_frames - 1 + r, hop)
-        return jnp.concatenate(
-            [ph[:, k : k + n_frames, :] for k in range(r)], axis=-1
-        )
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    return y[:, idx]
+    r = -(-n_fft // hop)  # ceil
+    need = hop * (n_frames - 1 + r)
+    if need > length:
+        y = jnp.pad(y, ((0, 0), (0, need - length)))
+    ph = y[:, :need].reshape(b, n_frames - 1 + r, hop)
+    wide = jnp.concatenate(
+        [ph[:, k : k + n_frames, :] for k in range(r)], axis=-1
+    )
+    return wide if wide.shape[-1] == n_fft else wide[:, :, :n_fft]
 
 
 def stft_magnitude(y: Array, n_fft: int, hop: int, win_length: int) -> Array:

@@ -145,6 +145,10 @@ def main(argv=None):
                         help="speech_tokenizer_v2 torch ckpt (native JAX backend)")
     parser.add_argument("--merge", nargs="*", default=None,
                         help="shard dirs to concatenate instead of preparing")
+    parser.add_argument("--device-dsp", action="store_true",
+                        help="with --device-batch: compute kaldi-fbank + "
+                        "whisper-mel inside the fused graph (matmul-DFT) — "
+                        "keeps prep device-bound on few-core hosts")
     parser.add_argument("--device-batch", type=int, default=0,
                         help="rows per fused device dispatch (0 = row-at-a-"
                         "time). Groups rows by length bucket and runs one "
@@ -182,6 +186,7 @@ def main(argv=None):
         campplus_onnx=args.campplus_onnx,
         tokenizer_onnx=args.tokenizer_onnx,
         tokenizer_torch=args.tokenizer_torch,
+        device_dsp=args.device_dsp,
     )
 
     ds = (

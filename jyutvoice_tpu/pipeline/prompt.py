@@ -225,8 +225,13 @@ class PromptExtractor:
         tokenizer_torch: Optional[str] = None,
         streaming_encoder: bool = False,
         streaming_t_max: int = 1024,
+        device_dsp: bool = False,
     ):
         self.mel = MelSpec()
+        # device_dsp: compute kaldi-fbank + whisper-mel INSIDE the fused
+        # batched graph (matmul-DFT) instead of per-row host numpy — makes
+        # batched prep device-bound on few-core hosts
+        self.device_dsp = device_dsp
         self.embedder = CampPlusEmbedder(campplus_onnx)
         self.tokenizer = SpeechTokenizer(tokenizer_onnx, torch_path=tokenizer_torch)
         self.flow_encoder_params = flow_encoder_params
@@ -343,7 +348,7 @@ class PromptExtractor:
             return fn
         import jax
 
-        _f, _b, with_spk, with_tok = key
+        _f, _b, with_spk, with_tok, device_dsp = key
         melspec = self.mel
         # getattr: stubs without cfg only ever reach here with their
         # component off the fused graph (with_spk/with_tok False)
@@ -351,7 +356,7 @@ class PromptExtractor:
         scfg = getattr(self.tokenizer, "cfg", None)
         fecfg = self.flow_encoder_cfg
 
-        def prep(cp, sp, fe, wav, fb, fb_len, wm, wm_len):
+        def _models(outs, cp, sp, fe, fb, fb_len, wm, wm_len):
             from jyutvoice_tpu.models.campplus import apply_campplus
             from jyutvoice_tpu.models.flow_encoder import apply_flow_encoder
             from jyutvoice_tpu.models.s3_tokenizer import (
@@ -359,7 +364,6 @@ class PromptExtractor:
                 out_len,
             )
 
-            outs = {"mel": melspec.from_padded(wav)}
             if with_spk:
                 outs["spk"] = apply_campplus(cp, ccfg, fb, t_len=fb_len)
             if with_tok:
@@ -374,11 +378,45 @@ class PromptExtractor:
                 outs.update(tokens=tokens, h=h, h_len=h_len)
             return outs
 
+        if device_dsp:
+
+            def prep(cp, sp, fe, wav, wav16p, len16):
+                import jax.numpy as jnp
+
+                from jyutvoice_tpu.audio.fbank import kaldi_fbank_batch
+                from jyutvoice_tpu.audio.whisper_mel import (
+                    whisper_log_mel_batch,
+                )
+
+                outs = {"mel": melspec.from_padded(wav)}
+                fb = fb_len = wm = wm_len = None
+                if with_spk:
+                    # raw signal starts at the static reflect-pad offset
+                    fb, fb_len = kaldi_fbank_batch(wav16p[:, 200:], len16)
+                    # per-row mean normalization over VALID frames only
+                    m = (
+                        jnp.arange(fb.shape[1])[None, :] < fb_len[:, None]
+                    )[..., None]
+                    mean = jnp.sum(jnp.where(m, fb, 0.0), axis=1) / jnp.maximum(
+                        fb_len.astype(fb.dtype), 1.0
+                    )[:, None]
+                    fb = jnp.where(m, fb - mean[:, None, :], 0.0)
+                if with_tok:
+                    wm, wm_len = whisper_log_mel_batch(wav16p, len16)
+                return _models(outs, cp, sp, fe, fb, fb_len, wm, wm_len)
+
+        else:
+
+            def prep(cp, sp, fe, wav, fb, fb_len, wm, wm_len):
+                outs = {"mel": melspec.from_padded(wav)}
+                return _models(outs, cp, sp, fe, fb, fb_len, wm, wm_len)
+
         fn = jax.jit(prep)
         self._batch_fns[key] = fn
         return fn
 
-    def extract_batch(self, audios, srs, max_batch: int = 32) -> list:
+    def extract_batch(self, audios, srs, max_batch: int = 32,
+                      device_dsp: Optional[bool] = None) -> list:
         """Batched prompt extraction for dataset prep.
 
         `__call__` costs 3-4 device dispatch+readback round trips per row —
@@ -392,10 +430,17 @@ class PromptExtractor:
         `__call__`. Returns one entry per input row: a PromptFeatures, or
         the Exception that failed that row (the caller marks it, mirroring
         the reference's prepare_dataset row tolerance).
+
+        `device_dsp=True` (default: the constructor flag) also moves the
+        kaldi-fbank and whisper-mel DSP into the fused graph (matmul-DFT) —
+        per-row host work shrinks to two resamples + a reflect pad, so prep
+        stays device-bound even on few-core hosts.
         """
         import jax
         import jax.numpy as jnp
 
+        if device_dsp is None:
+            device_dsp = self.device_dsp
         hop, n_fft = self.mel.hop, self.mel.n_fft
         pad = (n_fft - hop) // 2
         # getattr: tests/serving may stub a component with a bare callable —
@@ -439,40 +484,60 @@ class PromptExtractor:
                 # static per-bucket shapes with one frame of slack: a row at
                 # the bucket boundary can carry up to hop-1 extra samples
                 wav_cap = (f_bucket + 1) * hop + 2 * pad
-                fb_cap = 2 * (f_bucket + 1)
-                wm_cap = 2 * (f_bucket + 1)
                 wavbuf = np.zeros((b_pad, wav_cap), np.float32)
-                fbbuf = np.zeros((b_pad, fb_cap, 80), np.float32)
-                fb_len = np.zeros(b_pad, np.int32)
-                wmbuf = np.zeros((b_pad, wm_cap, 128), np.float32)
-                wm_len = np.zeros(b_pad, np.int32)
+                dsp_on_device = device_dsp and (with_spk or with_tok)
                 row_fail: dict = {}
-                for j, (i, wavp, wav16, _t24) in enumerate(chunk):
-                    wavbuf[j, : len(wavp)] = wavp
-                    try:
-                        if with_spk:
-                            fb = kaldi_fbank(wav16, num_mel_bins=80)
-                            fb = fb - fb.mean(axis=0, keepdims=True)
-                            fbbuf[j, : fb.shape[0]] = fb
-                            fb_len[j] = fb.shape[0]
-                        if with_tok:
-                            wm = whisper_log_mel(wav16)  # (128, T)
-                            wmbuf[j, : wm.shape[1]] = wm.T
-                            wm_len[j] = wm.shape[1]
-                    except Exception as e:  # noqa: BLE001
-                        row_fail[j] = e
+                if dsp_on_device:
+                    # one reflect-padded 16 kHz buffer; fbank reads it at
+                    # the static +200 offset, whisper-mel uses the pad
+                    w16_cap = (f_bucket + 1) * 320 + 400
+                    w16buf = np.zeros((b_pad, w16_cap), np.float32)
+                    len16 = np.zeros(b_pad, np.int32)
+                    for j, (i, wavp, wav16, _t24) in enumerate(chunk):
+                        wavbuf[j, : len(wavp)] = wavp
+                        try:
+                            w16p = np.pad(wav16, (200, 200), mode="reflect")
+                            w16buf[j, : len(w16p)] = w16p
+                            len16[j] = len(wav16)
+                        except Exception as e:  # noqa: BLE001
+                            row_fail[j] = e
+                    args = (jnp.asarray(w16buf), jnp.asarray(len16))
+                else:
+                    fb_cap = 2 * (f_bucket + 1)
+                    wm_cap = 2 * (f_bucket + 1)
+                    fbbuf = np.zeros((b_pad, fb_cap, 80), np.float32)
+                    fb_len = np.zeros(b_pad, np.int32)
+                    wmbuf = np.zeros((b_pad, wm_cap, 128), np.float32)
+                    wm_len = np.zeros(b_pad, np.int32)
+                    for j, (i, wavp, wav16, _t24) in enumerate(chunk):
+                        wavbuf[j, : len(wavp)] = wavp
+                        try:
+                            if with_spk:
+                                fb = kaldi_fbank(wav16, num_mel_bins=80)
+                                fb = fb - fb.mean(axis=0, keepdims=True)
+                                fbbuf[j, : fb.shape[0]] = fb
+                                fb_len[j] = fb.shape[0]
+                            if with_tok:
+                                wm = whisper_log_mel(wav16)  # (128, T)
+                                wmbuf[j, : wm.shape[1]] = wm.T
+                                wm_len[j] = wm.shape[1]
+                        except Exception as e:  # noqa: BLE001
+                            row_fail[j] = e
+                    args = (
+                        jnp.asarray(fbbuf), jnp.asarray(fb_len),
+                        jnp.asarray(wmbuf), jnp.asarray(wm_len),
+                    )
 
-                fn = self._get_batch_fn((f_bucket, b_pad, with_spk, with_tok))
+                fn = self._get_batch_fn(
+                    (f_bucket, b_pad, with_spk, with_tok, dsp_on_device)
+                )
                 outs = jax.device_get(
                     fn(
                         self.embedder.params if with_spk else None,
                         self.tokenizer.params if with_tok else None,
                         self.flow_encoder_params if with_tok else None,
                         jnp.asarray(wavbuf),
-                        jnp.asarray(fbbuf),
-                        jnp.asarray(fb_len),
-                        jnp.asarray(wmbuf),
-                        jnp.asarray(wm_len),
+                        *args,
                     )
                 )
 

@@ -79,11 +79,19 @@ def main():
     t_batch = time.perf_counter() - t0
     assert all(not isinstance(o, Exception) for o in out)
 
+    ex.extract_batch(audios, srs, max_batch=32, device_dsp=True)  # warm
+    t0 = time.perf_counter()
+    out = ex.extract_batch(audios, srs, max_batch=32, device_dsp=True)
+    t_dsp = time.perf_counter() - t0
+    assert all(not isinstance(o, Exception) for o in out)
+
     n = len(audios)
     print(f"rows: {n}, audio total {total_s:.1f} s")
-    print(f"row-at-a-time: {t_single:.2f} s  ({n / t_single:.1f} rows/s)")
-    print(f"batched      : {t_batch:.2f} s  ({n / t_batch:.1f} rows/s)")
-    print(f"speedup      : {t_single / t_batch:.2f}x")
+    print(f"row-at-a-time   : {t_single:.2f} s  ({n / t_single:.1f} rows/s)")
+    print(f"batched         : {t_batch:.2f} s  ({n / t_batch:.1f} rows/s)")
+    print(f"batched +dsp    : {t_dsp:.2f} s  ({n / t_dsp:.1f} rows/s)")
+    print(f"speedup         : {t_single / t_batch:.2f}x "
+          f"(+dsp {t_single / t_dsp:.2f}x)")
 
 
 if __name__ == "__main__":

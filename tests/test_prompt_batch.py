@@ -105,6 +105,68 @@ def test_extract_batch_isolates_bad_rows():
         )
 
 
+def test_batched_dsp_matches_numpy():
+    """The jittable kaldi-fbank / whisper-mel (matmul-DFT) match the host
+    numpy implementations row-for-row on a zero-padded batch."""
+    import jax.numpy as jnp
+
+    from jyutvoice_tpu.audio.fbank import kaldi_fbank, kaldi_fbank_batch
+    from jyutvoice_tpu.audio.whisper_mel import (
+        whisper_log_mel,
+        whisper_log_mel_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    lens = [7100, 16000]
+    wavs = [rng.uniform(-0.5, 0.5, n).astype(np.float32) for n in lens]
+
+    buf = np.zeros((2, max(lens)), np.float32)
+    for j, w in enumerate(wavs):
+        buf[j, : len(w)] = w
+    fb, fb_len = kaldi_fbank_batch(jnp.asarray(buf), jnp.asarray(lens))
+    fb, fb_len = np.asarray(fb), np.asarray(fb_len)
+    for j, w in enumerate(wavs):
+        ref = kaldi_fbank(w, num_mel_bins=80)
+        assert fb_len[j] == ref.shape[0]
+        np.testing.assert_allclose(
+            fb[j, : ref.shape[0]], ref, atol=2e-3, rtol=1e-3
+        )
+
+    bufp = np.zeros((2, max(lens) + 400), np.float32)
+    for j, w in enumerate(wavs):
+        wp = np.pad(w, (200, 200), mode="reflect")
+        bufp[j, : len(wp)] = wp
+    wm, wm_len = whisper_log_mel_batch(jnp.asarray(bufp), jnp.asarray(lens))
+    wm, wm_len = np.asarray(wm), np.asarray(wm_len)
+    for j, w in enumerate(wavs):
+        ref = whisper_log_mel(w).T  # (T, 128)
+        assert wm_len[j] == ref.shape[0]
+        np.testing.assert_allclose(
+            wm[j, : ref.shape[0]], ref, atol=2e-3, rtol=1e-3
+        )
+
+
+def test_extract_batch_device_dsp_matches_host():
+    """device_dsp=True (DSP inside the fused graph) == host-numpy DSP.
+
+    Tokens may flip on FSQ rounding boundaries under f32-vs-f64 DSP noise;
+    require near-total agreement rather than bit equality."""
+    ex = _extractor(with_aux=True)
+    audios, srs = _rows(seed=6)
+    host = ex.extract_batch(audios, srs, device_dsp=False)
+    dev = ex.extract_batch(audios, srs, device_dsp=True)
+    for h, d in zip(host, dev):
+        np.testing.assert_allclose(
+            d.prompt_feat, h.prompt_feat, atol=1e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(d.spk_embed, h.spk_embed, atol=2e-3,
+                                   rtol=2e-3)
+        agree = np.mean(
+            d.speech_tokens[: len(h.speech_tokens)] == h.speech_tokens
+        )
+        assert agree >= 0.95, agree
+
+
 def test_call_routes_through_fused_graph():
     """__call__ (the serving/prep entry) is the single-row fused dispatch:
     same features as the per-component path, loud error on short clips."""
