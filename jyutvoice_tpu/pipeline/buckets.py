@@ -42,6 +42,11 @@ def pick_prompt_bucket(p_len: int, t_mel: int) -> int:
     ~(total'/total)^2 in attention but flash pays ~1.6x back — measured
     net 1.27x at mel2048+prompt256, 1.16x at +prompt128, ~1.4x at
     mel4096 (scripts/profile_stockflash_blocks.py)."""
+    if p_len <= 0:
+        # a zero-length prompt is the no-prompt graph — mapping it to the
+        # 64 bucket would compile a distinct (t_text, t_mel, 64, steps)
+        # graph (minutes cold on this platform) for nothing
+        return 0
     t = pick_bucket(p_len, PROMPT_BUCKETS[1:])
     # promote only when the promoted total is actually flash-eligible —
     # at the non-512-aligned 15000 cap bucket the promotion would pay the

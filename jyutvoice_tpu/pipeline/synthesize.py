@@ -236,6 +236,20 @@ class Synthesizer:
                     for t_prompt in prompt_buckets:
                         pf = jnp.zeros((b, t_prompt, 80), jnp.float32)
                         plen = jnp.zeros((b,), jnp.int32)
+                        noise = self.noise
+                        if t_prompt + t_mel > noise.shape[1]:
+                            # mirror synthesize(): combos past the 300 s
+                            # buffer run on the extended noise at runtime —
+                            # warming with the base buffer would crash in
+                            # the trace (broadcast shape error) AND warm
+                            # the wrong input shape
+                            from jyutvoice_tpu.weights.noise import (
+                                rand_noise_extended,
+                            )
+
+                            noise = jnp.asarray(
+                                rand_noise_extended(t_prompt + t_mel)
+                            )
                         for steps in n_timesteps:
                             key = (t_text, t_mel, t_prompt, int(steps))
                             if log_fn:
@@ -243,7 +257,7 @@ class Synthesizer:
                             if b == 1:
                                 wav, _, _ = self._fused_fn(key)(
                                     self.params_tts, self.params_hift,
-                                    self.noise, x, ones, x, x, x, x, spk,
+                                    noise, x, ones, x, x, x, x, spk,
                                     pf, pf, plen,
                                     length_scale=jnp.float32(1.0),
                                 )
@@ -254,7 +268,7 @@ class Synthesizer:
                             # program from the fused graph: warm it at
                             # every batch size
                             out = self._mel_fn(key)(
-                                self.params_tts, self.noise, x, ones,
+                                self.params_tts, noise, x, ones,
                                 x, x, x, x, spk, pf, pf, plen,
                                 length_scale=jnp.float32(1.0),
                             )
@@ -319,12 +333,29 @@ class Synthesizer:
             )[0]
         )
         y_len = int(np.ceil(y_len * length_scale))
-        if y_len > bkt.MEL_BUCKETS[-1] and prompt_feat is None:
+        # prompt-pair validation FIRST: the long-form delegation below takes
+        # no prompt args, so a half-given pair reaching it would silently
+        # return UN-CLONED audio with success status
+        # (streaming._init_session raises on the same mistake; so must the
+        # batch-1 entry point)
+        if (prompt_feat is None) != (prompt_h is None):
+            raise ValueError(
+                "voice cloning needs BOTH prompt_feat and prompt_h "
+                "(PromptExtractor returns the pair); got only one"
+            )
+        if y_len > bkt.MEL_BUCKETS[-1]:
+            if prompt_feat is not None:
+                raise ValueError(
+                    f"text needs {y_len} mel frames — past the largest "
+                    f"bucket {bkt.MEL_BUCKETS[-1]} — and prompt grafting "
+                    "is not wired into the long-form one-pass path; use "
+                    "synthesize_streaming (cloning prompts work at any "
+                    "length) or shorten the text"
+                )
             # past the bucket table (the reference's 300 s cap): the
             # one-pass long-form path has no such cap (extended noise,
             # flash attention, windowed vocoder) — delegate instead of
-            # raising. Cloning prompts keep the explicit error below
-            # (prompt grafting is not wired into synthesize_long).
+            # raising.
             return self.synthesize_long(
                 text, lang=lang, phone=phone, spk_embed=spk_embed,
                 n_timesteps=n_timesteps, length_scale=length_scale,
@@ -337,14 +368,6 @@ class Synthesizer:
         t_mel = bkt.pick_bucket(max(y_len, 1), bkt.MEL_BUCKETS)
 
         # prompt padding
-        if (prompt_feat is None) != (prompt_h is None):
-            # falling through to the no-prompt branch here would return
-            # UN-CLONED audio with success status (streaming._init_session
-            # raises on the same mistake; so must the batch-1 entry point)
-            raise ValueError(
-                "voice cloning needs BOTH prompt_feat and prompt_h "
-                "(PromptExtractor returns the pair); got only one"
-            )
         if prompt_feat is not None and prompt_h is not None:
             p_len = prompt_feat.shape[0]
             t_prompt = bkt.pick_prompt_bucket(p_len, t_mel)
@@ -390,11 +413,14 @@ class Synthesizer:
                 word_pos, syllable_pos, spk, jnp.asarray(pf), jnp.asarray(ph),
                 jnp.asarray(plen), length_scale=jnp.float32(length_scale),
             )
-            mel = out.mel
+            # small-array fence (4 bytes): closes the mel stage for an
+            # honest timing split; the BIG arrays (wav + mel) ride one
+            # combined device_get below instead of two separate ~28 ms-RTT
+            # readbacks (CLAUDE.md transport rules)
             mel_frames = int(out.mel_lengths[0])
             t2 = time.perf_counter()
-            wav = self._voc_fn(t_mel)(self.params_hift, mel)
-            wav = np.asarray(wav)  # honest fence (see fused path note)
+            wav = self._voc_fn(t_mel)(self.params_hift, out.mel)
+            wav, mel = jax.device_get((wav, out.mel))
             t3 = time.perf_counter()
 
         num_samples = mel_frames * self.cfg.audio.hop_length
@@ -825,6 +851,9 @@ class Synthesizer:
                 "mel": t2 - t1,
                 "vocoder": t3 - t2,
                 "total": elapsed,
+                # same contract as synthesize(): callers reached via the
+                # transparent long-text delegation read this key
+                "audio_seconds": audio_seconds,
             },
         )
 

@@ -591,3 +591,57 @@ def test_streaming_samples_per_frame_derived_from_config():
     params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
     ss = StreamingSynthesizer(TINY, params, params_hift, chunk_frames=50)
     assert ss.spf == TINY.hift.total_upsample == 480
+
+
+def test_pick_prompt_bucket_zero_is_no_prompt_graph():
+    """p_len=0 is the no-prompt graph: mapping it to the 64 bucket would
+    compile a distinct (t_text, t_mel, 64, steps) graph for nothing."""
+    from jyutvoice_tpu.pipeline.buckets import pick_prompt_bucket
+
+    assert pick_prompt_bucket(0, 512) == 0
+    assert pick_prompt_bucket(0, 2048) == 0
+
+
+def test_long_text_prompt_validation_precedes_delegation(synth, monkeypatch):
+    """A half-given prompt pair on a LONG text must raise like the short
+    path does — not silently delegate to synthesize_long (which takes no
+    prompt args) and return un-cloned audio with success status; a full
+    pair must get the explicit long-form error, not the generic
+    exceeds-largest-bucket ValueError."""
+    called = {}
+    monkeypatch.setattr(
+        type(synth), "synthesize_long",
+        lambda self, text, **kw: called.setdefault("yes", True),
+    )
+    pf = np.zeros((8, 80), np.float32)
+    with pytest.raises(ValueError, match="BOTH"):
+        synth.synthesize("佢", lang="yue", phone="keoi5", prompt_h=pf,
+                         n_timesteps=1, length_scale=100000.0)
+    with pytest.raises(ValueError, match="long-form"):
+        synth.synthesize("佢", lang="yue", phone="keoi5", prompt_feat=pf,
+                         prompt_h=pf, n_timesteps=1, length_scale=100000.0)
+    assert not called
+
+
+def test_long_form_timings_contract(synth):
+    """synthesize_long results carry the same timings keys as
+    synthesize() — callers reached via the transparent long-text
+    delegation read timings['audio_seconds'] (weights/provision.py)."""
+    res = synth.synthesize_long(
+        "佢", lang="yue", phone="keoi5", n_timesteps=1
+    )
+    assert res.timings["audio_seconds"] > 0
+    assert set(res.timings) >= {
+        "frontend_and_duration", "mel", "vocoder", "total", "audio_seconds",
+    }
+
+
+def test_warmup_prompt_mel_combo_past_noise_buffer(synth, monkeypatch):
+    """warmup must mirror synthesize(): a prompt+mel bucket combo past the
+    noise buffer runs on the extended noise (the same input shape the
+    runtime dispatches for that combo), instead of crashing inside the
+    jit trace with an opaque broadcast error."""
+    monkeypatch.setattr(synth, "noise", synth.noise[:, :32])
+    n = synth.warmup(text_buckets=(32,), mel_buckets=(128,),
+                     prompt_buckets=(64,), n_timesteps=(1,))
+    assert n == 4  # dur + fused + mel/voc pair
