@@ -32,7 +32,10 @@ def _log_val_sample(cfg, state, dm, tb, step, mesh):
     from jyutvoice_tpu.weights.noise import rand_noise
 
     vbatch = next(iter(dm.valid_batches()), None)
-    if vbatch is None or tb.writer is None:
+    # skip only when NO image sink exists: tb.mel_image/attn_image handle
+    # the wandb-only case (utils/tb_logging.py), so --wandb-project without
+    # --tb-dir must still get the validation images
+    if vbatch is None or (tb.writer is None and tb.wandb is None):
         return
     i = 0
     n = int(vbatch["x_lengths"][i])
@@ -177,8 +180,29 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
 
     import dataclasses
+    import os
 
     import jax
+
+    # persistent XLA compile cache (CLAUDE.md: first-conv autotune costs
+    # 2-8 min/process on this platform; every bucket-shaped train/val/
+    # sample graph pays it again after each --resume restart otherwise).
+    # TPU executables are keyed by target — safe to share; CPU entries are
+    # host-AOT blobs stamped with the compiling machine's ISA (cross-VM
+    # reuse risks SIGILL, see __graft_entry__), so CPU runs skip it.
+    try:
+        if jax.default_backend() != "cpu":
+            cache_dir = os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.expanduser("~/.cache/jax_xla"),
+            )
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
 
     from jyutvoice_tpu.config import JyutVoiceConfig
     from jyutvoice_tpu.dist import batch_sharding, make_mesh, replicate, shard_batch
@@ -222,20 +246,29 @@ def main(argv=None):
 
     state, tx = init_train_state(params, cfg.tts, tr)
     start_step = 0
+    start_epoch = 0
     if args.resume:
         latest = ckpt.latest_step(args.ckpt_dir)
         if latest is not None:
-            restored = ckpt.restore(
-                args.ckpt_dir, latest,
-                template={"params": state.params, "opt_state": state.opt_state,
-                          "step": 0},
-            )
+            base = {"params": state.params, "opt_state": state.opt_state,
+                    "step": 0}
+            try:
+                restored = ckpt.restore(
+                    args.ckpt_dir, latest, template={**base, "epoch": 0}
+                )
+                start_epoch = int(restored["epoch"])
+            except Exception:  # noqa: BLE001 — pre-epoch-key checkpoint
+                restored = ckpt.restore(args.ckpt_dir, latest, template=base)
             state = TrainState(
                 restored["params"], restored["opt_state"],
                 jax.numpy.asarray(restored["step"]),
             )
             start_step = int(restored["step"])
-            log.info("resumed from step %d", start_step)
+            log.info(
+                "resumed from step %d (continuing at epoch %d; a mid-epoch "
+                "checkpoint restarts that epoch from its beginning)",
+                start_step, start_epoch,
+            )
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
@@ -281,19 +314,32 @@ def main(argv=None):
         )
 
         key = jax.random.PRNGKey(args.seed)
+        if start_step:
+            # a resumed run must not replay the exact dropout/cond-RNG
+            # stream it already trained on
+            key = jax.random.fold_in(key, start_step)
         global_step = start_step
+        cur_epoch = start_epoch
         t_start = time.time()
         from jyutvoice_tpu.train.prefetch import prefetch
 
         _install_preemption_handler()
 
-        for epoch in range(tr.max_epochs):
+        for epoch in range(start_epoch, tr.max_epochs):
+            cur_epoch = epoch
             for batch in prefetch(dm.train_batches(epoch)):
                 b = batch["x"].shape[0]
-                if b % n_dev != 0:  # pad batch to the mesh size
-                    # repeat row 0 so a final partial batch smaller than
-                    # padb still pads to a multiple of n_dev
-                    padb = (n_dev - b % n_dev) % n_dev
+                if b < tr.batch_size or b % n_dev != 0:
+                    # pad the tail batch up to the FULL configured batch
+                    # (an already-compiled shape, rounded to the mesh
+                    # size): any other realized batch dim is a fresh
+                    # multi-minute XLA compile on this platform. Padding
+                    # repeats row 0 — those rows enter the loss mean for
+                    # this one batch per epoch (same trade the previous
+                    # n_dev-only padding made)
+                    target = max(tr.batch_size, b)
+                    target += (-target) % n_dev
+                    padb = target - b
                     batch = {
                         k: np.concatenate([v] + [v[:1]] * padb, axis=0)
                         for k, v in batch.items()
@@ -319,7 +365,7 @@ def main(argv=None):
                     ckpt.save(
                         args.ckpt_dir, global_step,
                         {"params": state.params, "opt_state": state.opt_state,
-                         "step": global_step},
+                         "step": global_step, "epoch": epoch},
                     )
                 if args.max_steps and global_step >= args.max_steps:
                     break
@@ -345,7 +391,7 @@ def main(argv=None):
                     ckpt.save_best(
                         args.ckpt_dir, global_step,
                         {"params": state.params, "opt_state": state.opt_state,
-                         "step": global_step},
+                         "step": global_step, "epoch": epoch + 1},
                         val_loss=avg["loss"],
                     )
                 # validation-end sample synthesis + mel/attn images
@@ -357,12 +403,22 @@ def main(argv=None):
                 continue
             break
 
+        # resume epoch: an interrupted run restarts its current epoch, a
+        # completed run resumes past the last one (i.e. does nothing more)
+        stopped_early = _PREEMPTED.is_set() or bool(
+            args.max_steps and global_step >= args.max_steps
+        )
         ckpt.save(
             args.ckpt_dir, global_step,
             {"params": state.params, "opt_state": state.opt_state,
-             "step": global_step},
+             "step": global_step,
+             "epoch": cur_epoch if stopped_early else tr.max_epochs},
         )
         log.info("done at step %d", global_step)
+        # flush the event-file tail + finish the wandb run (SummaryWriter
+        # flushes on a ~2 min interval otherwise — a short run would lose
+        # its final scalars)
+        tb.close()
 
 
 if __name__ == "__main__":

@@ -16,11 +16,17 @@ from __future__ import annotations
 import dataclasses
 
 _PALLAS_CAPABLE = ("xla", "pallas")
+# "ring" is equally unsafe OUTSIDE its own shard_map solver: traced into a
+# DP/TP jit it either raises get_ring_context's (misleading) RuntimeError
+# or shard_maps against whatever stale mesh the thread last bound. Only
+# dist/sp.py builds ring graphs, and it sets the backend itself.
+_UNSAFE = _PALLAS_CAPABLE + ("ring",)
 
 
 def gspmd_safe_cfm_cfg(cfm_cfg):
-    """Rewrite any pallas-capable attention backend to 'xla_scores'."""
-    if cfm_cfg.estimator.attention_backend not in _PALLAS_CAPABLE:
+    """Rewrite any pallas-capable (or foreign-meshed) attention backend to
+    'xla_scores'."""
+    if cfm_cfg.estimator.attention_backend not in _UNSAFE:
         return cfm_cfg
     return dataclasses.replace(
         cfm_cfg,

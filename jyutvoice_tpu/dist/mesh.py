@@ -21,6 +21,15 @@ def make_mesh(
 ) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # silent truncation would run a job configured for N chips at
+            # a fraction of the intended parallelism with no error ever
+            # surfacing (shard_batch still divides) — fail loudly instead,
+            # matching sp.py::make_sp_mesh
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are visible"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 

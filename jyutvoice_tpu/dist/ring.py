@@ -7,9 +7,10 @@ T ~ 60k frames on a 16 GB chip even at n=8. Ring attention shards BOTH
 axes: each chip holds a (T/n, D) K/V block, computes a local
 (T/n, T/n) score tile with an online-softmax accumulator (the
 flash-attention recurrence), and rotates the K/V block to its ring
-neighbour with `ppermute` — n steps visit every block, per-chip score
-memory drops to (2B, H, T/n, T/n), and the rotation rides ICI while the
-next tile computes. Reference has no analog (single-GPU decoding only);
+neighbour with `ppermute` — n-1 rotations visit every block, per-chip
+score memory drops to (2B, H, T/n, T/n), and each rotation is issued
+BEFORE the tile compute that reads the current block, so it rides ICI
+while the MXU works (no data dependency). Reference has no analog (single-GPU decoding only);
 this is the "How to Scale Your Model" collective-matmul pattern applied
 to the CFM estimator.
 
@@ -86,20 +87,15 @@ def ring_attention_local(
 
     perm = [(i, (i + 1) % n) for i in range(n)]  # rotate blocks rightwards
 
-    def tile(carry_kv):
-        k_blk, v_blk, m_blk = carry_kv
-        # (B, H, Tl, Tl) score tile in f32 (softmax numerics); the bf16
-        # compact-score trade is not worth re-deriving here — the tile is
-        # already n^2-fold smaller than the dense path's working set
+    def absorb(o, m, l, k_blk, v_blk, m_blk):
+        """Fold one (B, H, Tl, Tl) score tile into the online-softmax
+        accumulator. Tile in f32 (softmax numerics); the bf16
+        compact-score trade is not worth re-deriving here — the tile is
+        already n^2-fold smaller than the dense path's working set."""
         t = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k_blk, preferred_element_type=jnp.float32
         ) * s
         t = jnp.where(m_blk[:, None, None, :].astype(bool), t, _NEG)
-        return t
-
-    def step(i, state):
-        o, m, l, k_blk, v_blk, mask_blk = state
-        t = tile((k_blk, v_blk, mask_blk))
         m_new = jnp.maximum(m, jnp.max(t, axis=-1, keepdims=True))
         # rescale the running accumulator, fold in this tile
         alpha = jnp.exp(m - m_new)
@@ -109,12 +105,22 @@ def ring_attention_local(
             "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
-        # rotate K/V (+ their validity) to the next chip; the final
-        # rotation restores the original block (harmless)
-        k_blk = lax.ppermute(k_blk, axis_name, perm)
-        v_blk = lax.ppermute(v_blk, axis_name, perm)
-        mask_blk = lax.ppermute(mask_blk, axis_name, perm)
-        return o, m_new, l, k_blk, v_blk, mask_blk
+        return o, m_new, l
+
+    def step(i, state):
+        o, m, l, k_blk, v_blk, mask_blk = state
+        # PREFETCH the neighbour's block first: the three ppermutes have
+        # no data dependency on this step's tile compute (which reads the
+        # CURRENT block), so the rotation rides ICI while the MXU works.
+        # The loop runs n-1 times, so no final wasted restore-rotation
+        # (the old rotate-after-compute form spent 1/n of the ring's ICI
+        # traffic restoring the original block after the last tile AND
+        # serialized every rotation behind the einsum that read it).
+        nk = lax.ppermute(k_blk, axis_name, perm)
+        nv = lax.ppermute(v_blk, axis_name, perm)
+        nm = lax.ppermute(mask_blk, axis_name, perm)
+        o, m, l = absorb(o, m, l, k_blk, v_blk, mask_blk)
+        return o, m, l, nk, nv, nm
 
     # fresh constants are device-invariant under shard_map's varying-axes
     # typing; mark them varying over the ring axis so the fori_loop carry
@@ -126,7 +132,11 @@ def ring_attention_local(
     m0 = _vary(jnp.full((b, h, tl, 1), _NEG, jnp.float32))
     l0 = _vary(jnp.zeros((b, h, tl, 1), jnp.float32))
     mask0 = kv_valid.astype(jnp.float32)
-    o, m, l, *_ = lax.fori_loop(0, n, step, (o0, m0, l0, k, v, mask0))
+    o, m, l, k_last, v_last, m_last = lax.fori_loop(
+        0, n - 1, step, (o0, m0, l0, k, v, mask0)
+    )
+    # last block: absorb only (n=1 collapses to a single local tile)
+    o, m, l = absorb(o, m, l, k_last, v_last, m_last)
     return (o / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 

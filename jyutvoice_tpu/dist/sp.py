@@ -113,6 +113,14 @@ def sp_cfm_solve(
         if MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1:
             raise ValueError("ring attention composes with 1-D seq meshes "
                              "only (no model axis)")
+        if streaming:
+            # the estimator's chunk-mask path asserts its way out of the
+            # ring backend deep in the trace (and an assert vanishes under
+            # python -O) — enforce the contract here with a real error
+            raise ValueError(
+                "attention='ring' does not support streaming chunk masks; "
+                "use attention='scores' for the chunk-masked solve"
+            )
         backend = "ring"
     elif attention == "scores":
         backend = "xla_scores"

@@ -44,10 +44,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_tp_mesh(n_devices: int | None = None, axis_name: str = "model") -> Mesh:
-    devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    return Mesh(np.array(devices), (axis_name,))
+    from jyutvoice_tpu.dist.mesh import make_mesh
+
+    return make_mesh(n_devices, axis_name=axis_name)
 
 
 def tp_cfm_cfg(cfm_cfg):
@@ -85,6 +84,18 @@ def _stage_specs(stage_params: dict, axis: str) -> dict:
 
 
 def estimator_partition_specs(est_params: dict, axis: str = "model") -> dict:
+    # the specs below describe the f32 param structure ({'w'}/{'w','b'});
+    # int8-quantized estimators (nn/quant.quantize_estimator) carry
+    # {'w_q','scale'} leaves instead — device_put against mismatched specs
+    # fails with an inscrutable pytree-structure error, so say why up front
+    leaves = jax.tree_util.tree_leaves_with_path(est_params)
+    if any("w_q" in str(path) for path, _ in leaves[:4096]):
+        raise ValueError(
+            "int8-quantized estimator params cannot be tensor-parallel "
+            "sharded (the TP partition specs cover the f32 layout only); "
+            "quantize AFTER deciding the parallelism, or serve int8 "
+            "single-chip / data-parallel"
+        )
     return {
         "time_mlp": jax.tree.map(lambda _: P(), est_params["time_mlp"]),
         "down": _stage_specs(est_params["down"], axis),

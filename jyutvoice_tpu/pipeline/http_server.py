@@ -126,6 +126,15 @@ class _Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", "0"))
         if length <= 0:
             raise ValueError("empty request body")
+        limit = getattr(self.server, "tts_max_body", 64 << 20)
+        if length > limit:
+            # client-supplied Content-Length is untrusted: without a cap a
+            # multi-GB body would be materialized (then json-parsed and
+            # base64-decoded on top) — a trivial memory-exhaustion DoS
+            raise ValueError(
+                f"request body is {length} bytes; the limit is {limit} "
+                "(raise TTSServer max_body_bytes if intended)"
+            )
         raw = self.rfile.read(length)
         body = json.loads(raw)
         if not isinstance(body, dict):
@@ -288,6 +297,7 @@ class _Handler(BaseHTTPRequestHandler):
                 404, "streaming lane disabled (start the server with streaming)"
             )
             return
+        handle = None
         try:
             # the batch engine applies the server-level length_scale
             # internally; the lane takes it per-submit — forward it so
@@ -295,23 +305,33 @@ class _Handler(BaseHTTPRequestHandler):
             handle = srv.tts_lane.submit(
                 length_scale=srv.tts_length_scale, **kwargs
             )
-            chunks = iter(handle)
+            # per-chunk timeout: a wedged/dead lane worker must not hang
+            # this HTTP thread forever (the /tts route bounds its wait the
+            # same way via future.result(timeout=...))
+            chunks = handle.iter_timeout(srv.tts_request_timeout)
             first = next(chunks)  # surface prepare errors before headers go out
         except ValueError as e:
             self._send_error_json(400, str(e))
             return
         except StopIteration:
             first = None
-        except Exception as e:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001 — incl. per-chunk TimeoutError
+            if handle is not None:
+                handle.cancel()
             self._send_error_json(500, f"{type(e).__name__}: {e}")
             return
 
-        self.send_response(200)
-        self.send_header("Content-Type", "audio/wav")
-        self.send_header("Transfer-Encoding", "chunked")
-        self.end_headers()
-        self._chunk(wav_header(-1, srv.tts_sample_rate))
         try:
+            # headers + WAV header sit INSIDE the try: a client that
+            # disconnected while waiting for the first chunk surfaces
+            # BrokenPipeError on these writes, and the session must be
+            # cancelled then too or its slot decodes into an abandoned
+            # queue for the rest of the utterance
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            self._chunk(wav_header(-1, srv.tts_sample_rate))
             if first is not None:
                 self._chunk(pcm16_of(np.asarray(first)).tobytes())
                 for chunk in chunks:
@@ -349,6 +369,7 @@ class TTSServer:
         chunk_frames: int = 100,
         stream_prompt_frames: int = 0,
         request_timeout: float = 600.0,
+        max_body_bytes: int = 64 << 20,
         verbose: bool = False,
         prompt_extractor=None,
         prompt_cache_size: int = 16,
@@ -393,6 +414,7 @@ class TTSServer:
         self._httpd.tts_sample_rate = synthesizer.cfg.audio.sample_rate
         self._httpd.tts_length_scale = length_scale
         self._httpd.tts_request_timeout = request_timeout
+        self._httpd.tts_max_body = max_body_bytes
         self._httpd.tts_verbose = verbose
         self._httpd.tts_prompt_extractor = prompt_extractor
         self._httpd.tts_prompt_cache = OrderedDict()

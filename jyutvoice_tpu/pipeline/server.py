@@ -257,6 +257,21 @@ class ServingEngine:
                         f"(~{bkt.PROMPT_BUCKETS[-1] // 50} s) — trim the "
                         "reference audio"
                     )
+                if pf is not None:
+                    n_feats = self.synth.cfg.audio.n_mels
+                    pfa, pha = np.asarray(pf), np.asarray(ph)
+                    if (
+                        pfa.ndim != 2 or pfa.shape[1] != n_feats
+                        or pha.ndim != 2 or pha.shape[1] != n_feats
+                    ):
+                        # a malformed prompt would otherwise raise a numpy
+                        # broadcast error inside the BATCHED dispatch,
+                        # failing every co-batched request (same rationale
+                        # as the spk_embed shape check below)
+                        raise ValueError(
+                            f"prompt_feat/prompt_h must be (T, {n_feats}); "
+                            f"got {pfa.shape} / {pha.shape}"
+                        )
                 spk = it.get("spk_embed")
                 if spk is not None and np.asarray(spk).shape != (spk_dim,):
                     # a malformed spk vector would otherwise raise a numpy
@@ -274,12 +289,16 @@ class ServingEngine:
                 self._fail([req], e)
         return ok
 
-    def _dispatch_sub(self, sub: List[_Request], finals, ok_group) -> None:
+    def _dispatch_sub(self, sub: List[_Request], finals, ok_group,
+                      defer_long=None) -> None:
         """Dispatch one subgroup, isolating per-request failures: over-long
-        items are failed individually and the innocent rest re-dispatched;
-        a noise-cap group is SPLIT (prompt items re-dispatched in their own
-        group, where the mel bucket is their own longest item) and only
-        fails requests the cap applies to intrinsically."""
+        PROMPT-FREE items are rerouted onto the caller's long-form list
+        (synthesize_long has no 15000-frame cap) and the innocent rest
+        re-dispatched; over-long cloning items fail individually (prompt
+        grafting is not wired into the long path); a noise-cap group is
+        SPLIT (prompt items re-dispatched in their own group, where the mel
+        bucket is their own longest item) and only fails requests the cap
+        applies to intrinsically."""
         from jyutvoice_tpu.pipeline.synthesize import (
             NoiseBufferExceeded,
             OverLongBatchItems,
@@ -304,9 +323,24 @@ class ServingEngine:
                 self.stats.dispatches += 1
             except OverLongBatchItems as e:
                 # the dispatcher identifies exactly which items exceeded
-                # the batch mel table — fail those, retry the rest
+                # the batch mel table — reroute prompt-free culprits
+                # through the long-form path (no cap there; e.g. a large
+                # engine length_scale can push an interactive-length text
+                # past 15000 frames), fail cloning culprits, retry the rest
                 culprit_ids = {id(attempt[i]) for i in e.indices}
-                self._fail([r for r in attempt if id(r) in culprit_ids], e)
+                culprits = [r for r in attempt if id(r) in culprit_ids]
+                if defer_long is not None:
+                    reroute = [
+                        r for r in culprits
+                        if r.item.get("prompt_feat") is None
+                    ]
+                    defer_long.extend(reroute)
+                    rerouted = {id(r) for r in reroute}
+                    culprits = [
+                        r for r in culprits if id(r) not in rerouted
+                    ]
+                if culprits:
+                    self._fail(culprits, e)
                 work.append(
                     [r for r in attempt if id(r) not in culprit_ids]
                 )
@@ -424,7 +458,10 @@ class ServingEngine:
             # long result in `pending` would delay it until the next
             # collected group)
             for sub in subgroups:
-                self._dispatch_sub(sub, finals, ok_group)
+                # long_reqs is consumed AFTER this loop: items the batch
+                # dispatcher rejects as over-long (prompt-free) are
+                # appended to it and served by the long path below
+                self._dispatch_sub(sub, finals, ok_group, long_reqs)
             if pending is not None:
                 self._finalize(*pending)
                 pending = None
@@ -485,8 +522,21 @@ class _StreamHandle:
         return self._cancelled.is_set()
 
     def __iter__(self):
+        return self.iter_timeout(None)
+
+    def iter_timeout(self, timeout=None):
+        """Chunk iterator with a per-chunk wait bound: a wedged or dead
+        lane worker raises TimeoutError instead of blocking the consumer
+        thread forever (the HTTP layer uses this with its request
+        timeout)."""
         while True:
-            item = self._q.get()
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError(
+                    f"no stream chunk within {timeout} s (lane wedged or "
+                    "overloaded)"
+                ) from None
             if item is _StreamHandle._DONE:
                 return
             if isinstance(item, Exception):
@@ -527,7 +577,11 @@ class StreamingLane:
         self.chunk_frames = chunk_frames
         self.n_timesteps = n_timesteps
         self.prompt_frames = prompt_frames
-        self._hop = synthesizer.cfg.audio.hop_length  # samples per mel frame
+        # samples per EMITTED mel frame: the vocoder's total upsample, not
+        # the analysis hop (they only coincide at 480 in the stock config;
+        # streaming.py keys all chunk slicing off this — the y_len sample
+        # budget must use the same unit or the stream trims early/late)
+        self._spf = synthesizer.cfg.hift.total_upsample
         self._ms = MultiStreamSynthesizer(
             synthesizer.cfg, synthesizer.params_tts, synthesizer.params_hift,
             max_sessions=max_streams, chunk_frames=chunk_frames,
@@ -587,6 +641,11 @@ class StreamingLane:
             self._stop.set()
             self._q.put(None)
         self._worker.join(timeout)
+        # drain queued-but-never-admitted requests. _handles teardown
+        # belongs to the WORKER's exit path: a cold-compile tick can
+        # overrun the join budget, and mutating _handles here while the
+        # live worker pops/reassigns entries would race ("dictionary
+        # changed size during iteration" / chunks pushed into dead handles)
         while True:
             try:
                 item = self._q.get_nowait()
@@ -594,9 +653,6 @@ class StreamingLane:
                 break
             if item is not None:
                 item[0]._q.put(RuntimeError("streaming lane is closed"))
-        for handle, _rem in self._handles.values():
-            handle._q.put(RuntimeError("streaming lane is closed"))
-        self._handles.clear()
 
     def __enter__(self):
         return self
@@ -630,7 +686,7 @@ class StreamingLane:
                 sid = self._ms.open(
                     mu_y, c, req.get("prompt_feat"), req.get("prompt_h")
                 )
-                self._handles[sid] = (handle, y_len * self._hop)
+                self._handles[sid] = (handle, y_len * self._spf)
             except Exception as e:  # noqa: BLE001 — per-request isolation
                 handle._q.put(e)
             block = False  # only block while completely idle
@@ -670,3 +726,8 @@ class StreamingLane:
                     handle._q.put(e)
                 self._handles.clear()
                 self._ms.reset()
+        # worker exit: this thread owns _handles (close() only drains the
+        # submit queue) — fail whatever streams are still live
+        for handle, _rem in self._handles.values():
+            handle._q.put(RuntimeError("streaming lane is closed"))
+        self._handles.clear()

@@ -29,6 +29,8 @@ from jyutvoice_tpu.text import intersperse, text_to_sequence
 
 _TEXT_KEYS = ("x", "tone", "word_pos", "syllable_pos", "lang")
 
+_warned_overlong = False
+
 
 def fix_len_compatibility(length: int, num_downsamplings_in_unet: int = 2) -> int:
     factor = 2**num_downsamplings_in_unet
@@ -47,18 +49,31 @@ class DataConfig:
     bucket_text: bool = True  # round pads up to buckets for jit reuse
 
 
+def _col(row: Dict, key: str):
+    """HF null-tolerant column read: load_from_disk materializes EVERY
+    column on every row with None for missing values, so `key in row` is
+    always true there — presence must be judged on the value."""
+    return row.get(key)
+
+
 def row_to_example(row: Dict, cfg: DataConfig, mel_fn=None) -> Optional[Dict]:
     """One dataset row -> numpy example dict (or None if invalid)."""
-    if "phone_ids" in row:
+    if _col(row, "phone_ids") is not None:
         ids = list(row["phone_ids"])
-        tones = list(row.get("tones", [0] * len(ids)))
-        word_pos = list(row.get("word_pos", [0] * len(ids)))
-        syllable_pos = list(row.get("syllable_pos", [0] * len(ids)))
-        lang_ids = list(row.get("lang_ids", [0] * len(ids)))
+
+        def _ints(key):
+            v = _col(row, key)
+            return list(v) if v is not None else [0] * len(ids)
+
+        tones = _ints("tones")
+        word_pos = _ints("word_pos")
+        syllable_pos = _ints("syllable_pos")
+        lang_ids = _ints("lang_ids")
     else:
         try:
             ids, tones, word_pos, syllable_pos, lang_ids = text_to_sequence(
-                row["text"], lang=row.get("lang", "yue"), phone=row.get("phone")
+                row["text"], lang=_col(row, "lang") or "yue",
+                phone=_col(row, "phone"),
             )
         except Exception:
             return None
@@ -68,18 +83,20 @@ def row_to_example(row: Dict, cfg: DataConfig, mel_fn=None) -> Optional[Dict]:
             intersperse(s, 0) for s in (ids, tones, word_pos, syllable_pos, lang_ids)
         )
 
-    if "mel" in row:
+    if _col(row, "mel") is not None:
         mel = np.asarray(row["mel"], np.float32)  # (T, 80)
-    elif "audio" in row and mel_fn is not None:
+    elif _col(row, "audio") is not None and mel_fn is not None:
         wav = np.asarray(row["audio"], np.float32)[None, :]
         mel = np.asarray(mel_fn(wav))[0]
     else:
         return None
 
+    spk_raw = _col(row, "spk_emb")
     spk = np.asarray(
-        row.get("spk_emb", np.zeros(cfg.spk_embed_dim)), np.float32
+        spk_raw if spk_raw is not None else np.zeros(cfg.spk_embed_dim),
+        np.float32,
     )
-    dh = row.get("decoder_h")
+    dh = _col(row, "decoder_h")
     decoder_h = (
         np.asarray(dh, np.float32)
         if dh is not None
@@ -99,6 +116,23 @@ def row_to_example(row: Dict, cfg: DataConfig, mel_fn=None) -> Optional[Dict]:
     decoder_h = decoder_h[:t]
     if decoder_h.shape[0] < t:
         decoder_h = np.pad(decoder_h, ((0, t - decoder_h.shape[0]), (0, 0)))
+
+    # over-long rows are SKIPPED like other invalid rows: collate's
+    # pick_bucket would otherwise raise past the largest bucket and kill
+    # the whole run mid-epoch over one >300 s (or >8192-token) outlier
+    if len(ids) > bkt.TEXT_BUCKETS[-1] or t > bkt.MEL_BUCKETS[-1]:
+        global _warned_overlong
+        if not _warned_overlong:
+            _warned_overlong = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skipping over-long dataset row(s): text %d tokens / mel %d "
+                "frames exceed the largest buckets (%d / %d); further "
+                "occurrences are skipped silently",
+                len(ids), t, bkt.TEXT_BUCKETS[-1], bkt.MEL_BUCKETS[-1],
+            )
+        return None
 
     return {
         "x": np.asarray(ids, np.int32),
@@ -135,9 +169,7 @@ def collate(examples: Sequence[Dict], cfg: DataConfig) -> Dict[str, np.ndarray]:
         n = e["x"].shape[0]
         t = e["mel"].shape[0]
         for k in _TEXT_KEYS:
-            src = {"x": "x", "tone": "tone", "word_pos": "word_pos",
-                   "syllable_pos": "syllable_pos", "lang": "lang"}[k]
-            batch[k][i, :n] = e[src]
+            batch[k][i, :n] = e[k]
         batch["y"][i, :t] = e["mel"]
         batch["decoder_h"][i, :t] = e["decoder_h"]
         batch["spk_embed"][i] = e["spk_emb"]

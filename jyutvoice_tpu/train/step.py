@@ -182,7 +182,18 @@ def make_train_step(tts_cfg: TTSConfig, train_cfg: TrainConfig, tx):
         )(state.params, tts_cfg, train_cfg, rng, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        # norm over TRAINABLE leaves only: value_and_grad still produces
+        # frozen-decoder grads (the diff loss backprops through it) that
+        # would dominate the logged norm, while the clip inside
+        # multi_transform only ever sees trainable leaves — the metric
+        # must describe what the clip acts on (the reference's frozen
+        # params have requires_grad=False and contribute nothing)
+        mask = trainable_mask(state.params, tts_cfg)
+        metrics["grad_norm"] = optax.global_norm(
+            jax.tree.map(
+                lambda g, m: g if m else jnp.zeros((), g.dtype), grads, mask
+            )
+        )
         metrics["lr"] = sched(state.step)  # reference logs lr each step
         return TrainState(params, opt_state, state.step + 1), metrics
 

@@ -78,13 +78,19 @@ def download_artifacts(
             log.info("artifact %s already present", dest)
             out[name] = dest
             continue
+        # fetch to a temp name + atomic rename: a HARD kill (SIGKILL/power
+        # loss) mid-download must not leave a truncated file at the final
+        # path — later runs would see it as "already present" forever and
+        # fail with a confusing deserialization error
+        part = dest + ".part"
         try:
-            fetch(url, dest)
+            fetch(url, part)
+            os.replace(part, dest)
             out[name] = dest
             log.info("downloaded %s", name)
         except Exception as e:  # noqa: BLE001 — offline is a supported mode
-            if os.path.exists(dest):
-                os.remove(dest)  # no truncated artifacts
+            if os.path.exists(part):
+                os.remove(part)  # no truncated artifacts
             out[name] = None
             log.warning("could not download %s (%s); skipping", name, e)
     return out

@@ -392,3 +392,23 @@ def test_prompt_cache_lru_and_inflight_dedup():
         assert calls["n"] == n_after + 1
     finally:
         srv.close()
+
+
+def test_body_size_limit_rejected_before_read(server):
+    """A client-supplied multi-GB Content-Length must be rejected from
+    the header alone (400), never materialized into memory — the server
+    must respond without waiting for a body that size."""
+    import http.client
+
+    srv, _synth = server
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+    try:
+        conn.putrequest("POST", "/tts")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(1 << 31))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"limit" in resp.read()
+    finally:
+        conn.close()

@@ -230,31 +230,49 @@ def test_batch_dispatch_overlong_culprit_indices(synth, monkeypatch):
     assert ei.value.indices == (1,)
 
 
-def test_engine_overlong_item_fails_only_culprit(synth, monkeypatch):
-    """An item past the batch mel table fails its own request; innocent
-    co-batched requests are re-dispatched, not poisoned (regression: the
-    whole subgroup used to fail with the culprit's error)."""
+def test_engine_overlong_item_reroutes_or_fails_by_prompt(synth, monkeypatch):
+    """Items past the batch mel table: a PROMPT-FREE culprit is rerouted
+    through synthesize_long (no 15000-frame cap there — e.g. a large
+    engine length_scale pushing an interactive text past the table); a
+    CLONING culprit fails its own request (prompt grafting is not wired
+    into the long path); innocent co-batched requests are re-dispatched,
+    not poisoned."""
     from jyutvoice_tpu.pipeline.synthesize import OverLongBatchItems
 
     real = synth.synthesize_batch_dispatch
 
     def fake(items, **kw):
-        idx = [i for i, it in enumerate(items) if it["text"] == "佢"]
+        idx = [i for i, it in enumerate(items) if it["text"] in ("佢", "我")]
         if idx:
             raise OverLongBatchItems(
-                "an item needs 99999 mel frames, past the batch table", idx
+                "items need 99999 mel frames, past the batch table", idx
             )
         return real(items, **kw)
 
+    long_called = []
+    real_long = type(synth).synthesize_long
+
+    def spy(self, text, **kw):
+        long_called.append(text)
+        return real_long(self, text, **kw)
+
     monkeypatch.setattr(synth, "synthesize_batch_dispatch", fake)
+    monkeypatch.setattr(type(synth), "synthesize_long", spy)
     with ServingEngine(
         synth, max_batch=4, max_wait_ms=300.0, n_timesteps=2
     ) as engine:
-        bad = engine.submit("佢", lang="yue", phone="keoi5")
+        rerouted = engine.submit("佢", lang="yue", phone="keoi5")
+        bad = engine.submit(
+            "我", lang="yue", phone="ngo5",
+            prompt_feat=np.zeros((8, 80), np.float32),
+            prompt_h=np.zeros((8, 80), np.float32),
+        )
         good = engine.submit("你好", lang="yue", phone="nei5 hou2")
+        assert rerouted.result(timeout=600).mel_frames > 0
         with pytest.raises(ValueError, match="mel frames"):
             bad.result(timeout=600)
         assert good.result(timeout=600).mel_frames > 0
+    assert long_called == ["佢"]
     assert engine.stats.errors == 1
 
 
@@ -466,3 +484,56 @@ def test_engine_noise_cap_intrinsic_prompt_failure(synth, monkeypatch):
             cloned.result(timeout=600)
         assert free.result(timeout=600).mel_frames > 0
     assert engine.stats.errors == 1
+
+
+def test_engine_bad_prompt_shape_fails_only_culprit(synth):
+    """A malformed prompt (wrong feature dim / ndim) must fail at
+    validation time (its own request), not raise a numpy broadcast error
+    inside the BATCHED dispatch where it would fail every co-batched
+    future — same contract as the spk_embed shape check."""
+    with ServingEngine(
+        synth, max_batch=4, max_wait_ms=200.0, n_timesteps=2
+    ) as engine:
+        bad = engine.submit(
+            "佢", lang="yue", phone="keoi5",
+            prompt_feat=np.zeros((8, 79), np.float32),
+            prompt_h=np.zeros((8, 79), np.float32),
+        )
+        good = engine.submit("你好", lang="yue", phone="nei5 hou2")
+        with pytest.raises(ValueError, match=r"\(T, 80\)"):
+            bad.result(timeout=600)
+        assert good.result(timeout=600).mel_frames > 0
+    assert engine.stats.errors == 1
+
+
+def test_stream_handle_iter_timeout():
+    """iter_timeout bounds the per-chunk wait: a wedged lane worker
+    raises TimeoutError instead of hanging the consumer thread forever;
+    normal chunk flow and termination are unchanged."""
+    from jyutvoice_tpu.pipeline.server import _StreamHandle
+
+    h = _StreamHandle()
+    it = h.iter_timeout(0.05)
+    with pytest.raises(TimeoutError, match="chunk"):
+        next(it)
+
+    h2 = _StreamHandle()
+    h2._q.put(np.zeros(4, np.float32))
+    h2._q.put(_StreamHandle._DONE)
+    out = list(h2.iter_timeout(1.0))
+    assert len(out) == 1 and out[0].shape == (4,)
+
+
+def test_streaming_lane_sample_budget_units(synth):
+    """The lane's y_len -> sample budget conversion must use the
+    vocoder's samples-per-emitted-frame (cfg.hift.total_upsample), not
+    the analysis hop — they only coincide at 480 in the stock config
+    (streaming.py's spf rule)."""
+    from jyutvoice_tpu.pipeline.server import StreamingLane
+
+    lane = StreamingLane(synth, max_streams=1, chunk_frames=50,
+                         n_timesteps=1)
+    try:
+        assert lane._spf == synth.cfg.hift.total_upsample == 480
+    finally:
+        lane.close()

@@ -366,3 +366,55 @@ def test_gspmd_safe_tts_cfg():
     safe = gspmd_safe_tts_cfg(tts)
     assert safe.cfm.estimator.attention_backend == "xla_scores"
     assert gspmd_safe_tts_cfg(safe) is safe
+
+
+def test_row_to_example_hf_null_columns():
+    """HF load_from_disk materializes EVERY column on every row with None
+    for missing values — null-valued columns must behave exactly like
+    absent ones (the old `key in row` checks crashed on np.asarray(None))."""
+    from jyutvoice_tpu.train.datamodule import DataConfig, row_to_example
+
+    cfg = DataConfig()
+    mel = np.zeros((40, 80), np.float32)
+    base = dict(
+        phone_ids=[1, 2, 3], tones=None, word_pos=None, syllable_pos=None,
+        lang_ids=None, mel=mel, spk_emb=None, decoder_h=None, audio=None,
+        text=None, lang=None, phone=None,
+    )
+    ex = row_to_example(base, cfg)
+    assert ex is not None
+    # add_blank intersperses: 3 ids -> 7 tokens; null tones -> all zeros
+    assert ex["tone"].shape == (7,) and (ex["tone"] == 0).all()
+    assert ex["spk_emb"].shape == (cfg.spk_embed_dim,)
+    assert (ex["spk_emb"] == 0).all()
+
+    # null mel AND null audio -> invalid row, skipped (not a TypeError)
+    assert row_to_example({**base, "mel": None}, cfg) is None
+    # null phone_ids + null text -> invalid row
+    assert row_to_example(
+        {**base, "phone_ids": None, "mel": mel}, cfg
+    ) is None
+
+
+def test_row_to_example_skips_overlong_rows():
+    """A single >300 s (or >8192-token) outlier row must be SKIPPED like
+    other invalid rows — collate's pick_bucket would otherwise raise and
+    kill the whole training run mid-epoch."""
+    from jyutvoice_tpu.pipeline.buckets import MEL_BUCKETS, TEXT_BUCKETS
+    from jyutvoice_tpu.train.datamodule import DataConfig, row_to_example
+
+    cfg = DataConfig()
+    too_long_mel = np.zeros((MEL_BUCKETS[-1] + 2, 80), np.float32)
+    assert row_to_example(
+        dict(phone_ids=[1, 2, 3], mel=too_long_mel), cfg
+    ) is None
+    # interspersal doubles the ids: 2n+1 must stay within the text table
+    n_ph = TEXT_BUCKETS[-1]  # -> 2*8192+1 interspersed tokens, over the cap
+    assert row_to_example(
+        dict(phone_ids=[1] * n_ph, mel=np.zeros((40, 80), np.float32)), cfg
+    ) is None
+    # boundary case still accepted
+    ok = row_to_example(
+        dict(phone_ids=[1] * 10, mel=np.zeros((40, 80), np.float32)), cfg
+    )
+    assert ok is not None
