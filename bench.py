@@ -99,6 +99,17 @@ def main():
         jnp.asarray([t_prompt], jnp.int32),
     )
 
+    def _graph_flops(jitted, *args) -> float:
+        """Analytic per-dispatch FLOPs from XLA's compiled cost model; 0.0
+        when the platform/runtime does not expose cost_analysis."""
+        try:
+            ca = jitted.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:  # noqa: BLE001 — cost model is best-effort
+            return 0.0
+
     def bucket_runner(t_mel: int):
         # mirror the production pipeline's prompt padding: long-form
         # buckets promote the prompt pad to 512 so prompt+mel totals are
@@ -136,7 +147,14 @@ def main():
         def run_once():
             return voc_fn(params_hift, mel_fn(params, *args))
 
-        return run_once
+        def flops():
+            mel = mel_fn(params, *args)
+            return (
+                _graph_flops(mel_fn, params, *args)
+                + _graph_flops(voc_fn, params_hift, mel)
+            )
+
+        return run_once, flops
 
     def measure(run_once, iters: int, repeats: int) -> float:
         """p50 per-iteration seconds. The scalar readback forces real device
@@ -157,9 +175,9 @@ def main():
         return max((tn - t1) / iters, 1e-6)
 
     hop, sr = cfg.audio.hop_length, cfg.audio.sample_rate
-    curve = {}
+    curve, bucket_flops = {}, {}
     for t_mel in CURVE_BUCKETS:
-        run_once = bucket_runner(t_mel)
+        run_once, flops = bucket_runner(t_mel)
         float(jnp.sum(run_once()))  # warmup / compile
         is_headline = t_mel == HEADLINE_BUCKET
         p50 = measure(
@@ -168,6 +186,47 @@ def main():
             repeats=3 if is_headline else 2,
         )
         curve[t_mel] = p50
+        bucket_flops[t_mel] = flops()
+
+    # achieved TFLOPS / MFU per bucket (XLA cost-model FLOPs / measured p50;
+    # denominator = v5e bf16 MXU peak — the estimator's f32 matmuls run as
+    # bf16 MXU passes, CLAUDE.md measured envelope)
+    PEAK_TFLOPS = 197.0
+    tflops = {
+        t: (bucket_flops[t] / curve[t]) / 1e12
+        for t in CURVE_BUCKETS
+        if bucket_flops[t] > 0
+    }
+    mfu = {t: v / PEAK_TFLOPS for t, v in tflops.items()}
+
+    # regression guard: compare against the last committed round's curve;
+    # a bucket >10% slower gets flagged in the JSON (VERDICT r3 weak #6)
+    regressions = []
+    prev_curve, prev_round = {}, None
+    try:
+        import glob
+
+        cands = sorted(glob.glob("BENCH_r*.json"))
+        if cands:
+            prev_round = cands[-1]
+            with open(prev_round) as f:
+                prev = json.load(f)
+            prev_curve = (
+                prev.get("parsed", {}).get("detail", {}).get("bucket_p50_s", {})
+            )
+        for t_str, prev_p50 in prev_curve.items():
+            t = int(t_str)
+            if t in curve and prev_p50 > 0 and curve[t] > 1.10 * prev_p50:
+                regressions.append(
+                    {
+                        "bucket": t,
+                        "prev_p50_s": prev_p50,
+                        "p50_s": round(curve[t], 4),
+                        "slowdown": round(curve[t] / prev_p50, 3),
+                    }
+                )
+    except Exception:  # noqa: BLE001 — the guard must never fail the bench
+        pass
 
     p50 = curve[HEADLINE_BUCKET]
     audio_seconds = HEADLINE_BUCKET * hop / sr
@@ -192,6 +251,15 @@ def main():
                         str(t): round(t * hop / sr / v, 1)
                         for t, v in curve.items()
                     },
+                    "bucket_tflops": {
+                        str(t): round(v, 1) for t, v in tflops.items()
+                    },
+                    "bucket_mfu": {
+                        str(t): round(v, 4) for t, v in mfu.items()
+                    },
+                    "peak_tflops_denominator": PEAK_TFLOPS,
+                    "regressions_vs_prev": regressions,
+                    "prev_curve_from": prev_round,
                     "platform": jax.devices()[0].platform,
                     "device": str(jax.devices()[0]),
                 },

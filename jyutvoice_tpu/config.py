@@ -96,6 +96,16 @@ class EstimatorConfig:
     # synthesis shapes; the in-repo kernel wins only as an isolated op on
     # long chunked sequences (scripts/bench_attention.py).
     attention_backend: str = "xla"
+    # "banded" backend geometry (attention_backend="banded" or the
+    # long-form banded gate): query chunk c attends key chunks
+    # [c-banded_left, c+banded_right] — linear-in-T attention
+    # (nn/attention.py::banded_sdpa). Chunks are MXU-aligned (128)
+    # rather than the reference's 50-frame streaming chunks; the window
+    # is (banded_left+1+banded_right)*banded_chunk frames (defaults:
+    # 1152 frames ≈ 23 s of context around each query).
+    banded_chunk: int = 128
+    banded_left: int = 4
+    banded_right: int = 4  # lookahead chunks (full attention is bidirectional)
     # "matmul" expresses the k=3 causal convs as shifted matmuls: identical
     # math, but avoids XLA conv<->matmul layout boundaries that break fusion
     # when convs interleave with attention at larger batches — 2.7x faster

@@ -182,6 +182,16 @@ def _attend(p, x: Array, ctx: dict, n_heads: int) -> Array:
             scale=1.0 / math.sqrt(d),
         )
         return maybe_linear(p["o"], attention.merge_heads(out))
+    if ctx["backend"] == "banded":
+        # linear-in-T chunk-local attention (nn/attention.py::banded_sdpa):
+        # dense XLA einsums over the stacked-shift band — MXU-tiled,
+        # GSPMD-shardable (no custom call), bf16 scores on TPU like the
+        # compact-score path
+        return attention.banded_mha(
+            p, x, ctx["lengths"], n_heads,
+            chunk=ctx["chunk"], left=ctx["left"], right=ctx["right"],
+            compact_scores=jax.default_backend() == "tpu",
+        )
     if ctx["backend"] == "flash_stock":
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
@@ -333,7 +343,20 @@ def apply_estimator(
         and seq % 128 == 0
         and jax.default_backend() == "tpu"
     )
-    if cfg.attention_backend == "ring":
+    if cfg.attention_backend == "banded":
+        # linear long-form attention: chunk-band over MXU-aligned chunks.
+        # Full-attention graphs only (the 50-frame streaming rule keeps
+        # its own measured paths).
+        assert chunk == 0, "banded backend is for full (non-streaming) graphs"
+        assert seq % cfg.banded_chunk == 0, (seq, cfg.banded_chunk)
+        attn_ctx = {
+            "backend": "banded",
+            "lengths": jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32),
+            "chunk": cfg.banded_chunk,
+            "left": cfg.banded_left,
+            "right": cfg.banded_right,
+        }
+    elif cfg.attention_backend == "ring":
         # sequence-parallel ring attention (dist/ring.py): K/V blocks
         # rotate over the mesh's seq axis, per-chip score tile is
         # (Tl, Tl). Full attention only (chunked streaming never runs

@@ -392,3 +392,110 @@ def plain_mha(
     v = split_heads(maybe_linear(p["v"], x), n_heads)
     out = sdpa(q, k, v, attn_bias, compact_scores=compact_scores)
     return maybe_linear(p["o"], merge_heads(out))
+
+
+def banded_sdpa(
+    q: Array,  # (B, H, T, D)
+    k: Array,
+    v: Array,
+    lengths: Array,  # (B,) valid key lengths (suffix mask)
+    *,
+    chunk: int,
+    left: int,
+    right: int = 0,
+    compact_scores: bool = False,
+) -> Array:
+    """Banded (chunk-local) attention, LINEAR in T — pure dense XLA.
+
+    Query chunk c attends to key chunks [c-left, c+right] (window
+    w = (left+1+right)*chunk keys). right=0 is the reference's streaming
+    chunk rule, banded (utils/mask.py:91-207, num_decoding_left_chunks
+    >= 0); right>0 adds lookahead chunks — a closer approximation of the
+    estimator's bidirectional full attention for the one-pass long-form
+    gate. The band is materialized with the stack-of-shifts framing
+    (reshape+slice only — TPU gathers are the measured slow path,
+    CLAUDE.md), so scores are (B,H,nc,chunk,w) instead of (B,H,T,T):
+    both FLOPs and HBM traffic scale with T·w. No pallas: plain einsums
+    the MXU tiles natively and GSPMD can shard the chunk axis (unlike a
+    pallas custom call).
+
+    Key validity is computed inline from positions (pad regions and
+    suffix padding masked). Fully-padded query chunks see an all-masked
+    row: softmax's internal max-subtraction keeps that finite (uniform
+    probs over masked-input V values), and the caller's output mask
+    zeroes it.
+    """
+    b, h, t, d = q.shape
+    assert t % chunk == 0, (t, chunk)
+    nc = t // chunk
+    n_slabs = left + 1 + right
+    w = n_slabs * chunk
+    scale = 1.0 / math.sqrt(d)
+
+    kp = jnp.pad(k, ((0, 0), (0, 0), (left * chunk, right * chunk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (left * chunk, right * chunk), (0, 0)))
+    # band[c] = padded[c*chunk : c*chunk + w]: stack the n_slabs shifted
+    # chunk-grids — window slab j of chunk c is padded chunk c+j
+    kb = jnp.stack(
+        [
+            jax.lax.slice_in_dim(kp, j * chunk, j * chunk + t, axis=2)
+            .reshape(b, h, nc, chunk, d)
+            for j in range(n_slabs)
+        ],
+        axis=3,
+    ).reshape(b, h, nc, w, d)
+    vb = jnp.stack(
+        [
+            jax.lax.slice_in_dim(vp, j * chunk, j * chunk + t, axis=2)
+            .reshape(b, h, nc, chunk, d)
+            for j in range(n_slabs)
+        ],
+        axis=3,
+    ).reshape(b, h, nc, w, d)
+
+    score_t = jnp.bfloat16 if compact_scores else jnp.float32
+    qc = q.reshape(b, h, nc, chunk, d)
+    scores = jnp.einsum(
+        "bhcqd,bhcwd->bhcqw", qc, kb, preferred_element_type=score_t
+    ) * jnp.asarray(scale, score_t)
+
+    # absolute key position of window slot (c, wi) = c*chunk - left*chunk + wi
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (nc, w), 0)
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, (nc, w), 1)
+    pos = c_idx * chunk - left * chunk + w_idx  # (nc, w)
+    keep = (pos >= 0)[None] & (pos[None] < lengths[:, None, None])  # (B,nc,w)
+    scores = jnp.where(
+        keep[:, None, :, None, :], scores, jnp.asarray(-1e10, scores.dtype)
+    )
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if compact_scores:
+        out = jnp.einsum(
+            "bhcqw,bhcwd->bhcqd", probs.astype(jnp.bfloat16),
+            vb.astype(jnp.bfloat16), preferred_element_type=v.dtype,
+        )
+    else:
+        out = jnp.einsum("bhcqw,bhcwd->bhcqd", probs, vb)
+    return out.reshape(b, h, t, d)
+
+
+def banded_mha(
+    p,
+    x: Array,
+    lengths: Array,
+    n_heads: int,
+    *,
+    chunk: int,
+    left: int,
+    right: int = 0,
+    compact_scores: bool = False,
+) -> Array:
+    from jyutvoice_tpu.nn.quant import maybe_linear
+
+    q = split_heads(maybe_linear(p["q"], x), n_heads)
+    k = split_heads(maybe_linear(p["k"], x), n_heads)
+    v = split_heads(maybe_linear(p["v"], x), n_heads)
+    out = banded_sdpa(
+        q, k, v, lengths, chunk=chunk, left=left, right=right,
+        compact_scores=compact_scores,
+    )
+    return maybe_linear(p["o"], merge_heads(out))

@@ -197,14 +197,16 @@ class SpeechTokenizer:
 
 
 def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    if sr_in == sr_out:
-        return audio.astype(np.float32)
-    from math import gcd
+    """torchaudio-matched windowed-sinc resample (reference infer.py:370-380).
 
-    from scipy.signal import resample_poly
+    audio/resample.py replicates torchaudio.transforms.Resample's default
+    sinc_interp_hann kernel exactly, so prompt_feat / spk-embed / speech
+    tokens see the same anti-aliasing filter as the reference (the earlier
+    scipy resample_poly stand-in used a different Kaiser design; bounded
+    in tests/test_resample.py)."""
+    from jyutvoice_tpu.audio.resample import resample_sinc
 
-    g = gcd(sr_in, sr_out)
-    return resample_poly(audio, sr_out // g, sr_in // g).astype(np.float32)
+    return resample_sinc(audio, sr_in, sr_out)
 
 
 @dataclasses.dataclass

@@ -292,10 +292,10 @@ class ServingEngine:
     def _dispatch_sub(self, sub: List[_Request], finals, ok_group,
                       defer_long=None) -> None:
         """Dispatch one subgroup, isolating per-request failures: over-long
-        PROMPT-FREE items are rerouted onto the caller's long-form list
+        items (cloning included — the long path grafts prompts since
+        round 4) are rerouted onto the caller's long-form list
         (synthesize_long has no 15000-frame cap) and the innocent rest
-        re-dispatched; over-long cloning items fail individually (prompt
-        grafting is not wired into the long path); a noise-cap group is
+        re-dispatched; a noise-cap group is
         SPLIT (prompt items re-dispatched in their own group, where the mel
         bucket is their own longest item) and only fails requests the cap
         applies to intrinsically."""
@@ -330,15 +330,10 @@ class ServingEngine:
                 culprit_ids = {id(attempt[i]) for i in e.indices}
                 culprits = [r for r in attempt if id(r) in culprit_ids]
                 if defer_long is not None:
-                    reroute = [
-                        r for r in culprits
-                        if r.item.get("prompt_feat") is None
-                    ]
-                    defer_long.extend(reroute)
-                    rerouted = {id(r) for r in reroute}
-                    culprits = [
-                        r for r in culprits if id(r) not in rerouted
-                    ]
+                    # cloning culprits reroute too since round 4: the long
+                    # path grafts prompts into its fixed 512-frame head
+                    defer_long.extend(culprits)
+                    culprits = []
                 if culprits:
                     self._fail(culprits, e)
                 work.append(
@@ -418,7 +413,7 @@ class ServingEngine:
             # requests once TEXT_BUCKETS allows multi-minute texts). Items
             # within 2x of the partition's shortest text bucket still
             # share a dispatch (bucket padding absorbs that much cheaply).
-            # prompt-free long-form requests (text past the interactive
+            # long-form requests (text past the interactive
             # buckets) each route through the one-pass long path: flash
             # attention + windowed vocoder + no 15000-frame cap (a >5 min
             # request would otherwise fail at the mel bucket table — and
@@ -427,8 +422,7 @@ class ServingEngine:
 
             long_reqs = [
                 r for r in group
-                if r.item.get("prompt_feat") is None
-                and r.item["_prepped"][2] > bkt.INTERACTIVE_TEXT_CAP
+                if r.item["_prepped"][2] > bkt.INTERACTIVE_TEXT_CAP
             ]
             long_ids = {id(r) for r in long_reqs}
             group = [r for r in group if id(r) not in long_ids]
@@ -472,6 +466,8 @@ class ServingEngine:
                         lang=req.item.get("lang", "yue"),
                         phone=req.item.get("phone"),
                         spk_embed=req.item.get("spk_embed"),
+                        prompt_feat=req.item.get("prompt_feat"),
+                        prompt_h=req.item.get("prompt_h"),
                         mesh=self.sp_mesh,
                         sp_attention=self.sp_attention,
                         n_timesteps=self.n_timesteps,

@@ -344,20 +344,14 @@ class Synthesizer:
                 "(PromptExtractor returns the pair); got only one"
             )
         if y_len > bkt.MEL_BUCKETS[-1]:
-            if prompt_feat is not None:
-                raise ValueError(
-                    f"text needs {y_len} mel frames — past the largest "
-                    f"bucket {bkt.MEL_BUCKETS[-1]} — and prompt grafting "
-                    "is not wired into the long-form one-pass path; use "
-                    "synthesize_streaming (cloning prompts work at any "
-                    "length) or shorten the text"
-                )
             # past the bucket table (the reference's 300 s cap): the
             # one-pass long-form path has no such cap (extended noise,
             # flash attention, windowed vocoder) — delegate instead of
-            # raising.
+            # raising. Cloning prompts graft into the long path's fixed
+            # 512-frame head region (round 4).
             return self.synthesize_long(
                 text, lang=lang, phone=phone, spk_embed=spk_embed,
+                prompt_feat=prompt_feat, prompt_h=prompt_h,
                 n_timesteps=n_timesteps, length_scale=length_scale,
                 # reuse this call's g2p output — re-running prepare_text on
                 # a multi-minute text doubles the frontend host work
@@ -569,6 +563,22 @@ class Synthesizer:
             self._mel_fns[key] = solve
         return self._mel_fns[key]
 
+    def _long_strip_fn(self, t_total: int, t_out: int):
+        """Prompt strip for the long-form path: traced start (p_len <=
+        p_bucket = t_total - t_out keeps the slice in bounds), static size.
+        Cached per shape pair."""
+        key = ("long_strip", t_total, t_out)
+        if key not in self._mel_fns:
+
+            @jax.jit
+            def strip(mel, p_len):
+                return jax.lax.dynamic_slice(
+                    mel, (0, p_len, 0), (1, t_out, mel.shape[-1])
+                )
+
+            self._mel_fns[key] = strip
+        return self._mel_fns[key]
+
     def _long_sp_fn(self, mesh, n_timesteps: int, sp_attention: str):
         """Sequence-parallel long-form solve, cached per (mesh, steps,
         attention): (run, decoder-params device_put with SP shardings)."""
@@ -723,6 +733,8 @@ class Synthesizer:
         lang: str = "yue",
         phone: Optional[str] = None,
         spk_embed: Optional[np.ndarray] = None,
+        prompt_feat: Optional[np.ndarray] = None,  # (T_p, 80)
+        prompt_h: Optional[np.ndarray] = None,  # (T_p, 80)
         mesh=None,
         n_timesteps: int = 10,
         length_scale: float = 1.0,
@@ -740,10 +752,19 @@ class Synthesizer:
         single-chip quadratic-attention wall decode in ONE Euler solve
         instead of chunked streaming. mesh=None runs the same path on one
         device (still removes the 15000-frame noise-buffer cap via the
-        deterministic extended stream, weights/noise.py). Conditions on the
-        speaker embedding only (prompt-frame cloning: use synthesize /
-        synthesize_streaming). The vocoder is linear in T and stays
-        single-device.
+        deterministic extended stream, weights/noise.py). The vocoder is
+        linear in T and stays single-device.
+
+        Voice cloning: prompt_feat/prompt_h (the PromptExtractor pair,
+        reference jyutvoice_tts.py:213-229 graft semantics) condition the
+        whole decode. The prompt grafts FRONT-ALIGNED into a fixed
+        512-frame head region (prompt_h into mu, prompt_feat into conds,
+        valid region = contiguous prefix), so the attention mask stays a
+        suffix-length mask — the stock-flash / ring attention paths remain
+        eligible (a right-aligned graft would front-pad the mask and force
+        the slow score path, CLAUDE.md mask-semantics rule). The generated
+        region is stripped on device with a traced-start static-size slice
+        before vocoding.
 
         sp_attention (mesh only): "scores" = GSPMD dense path (per-chip
         score memory (2B,H,T/n,T)); "ring" = ring attention
@@ -768,6 +789,38 @@ class Synthesizer:
 
             n_seq = mesh.shape[SEQ_AXIS]
         granule = long_frame_granule(n_seq)
+
+        if (prompt_feat is None) != (prompt_h is None):
+            raise ValueError(
+                "voice cloning needs BOTH prompt_feat and prompt_h "
+                "(PromptExtractor returns the pair); got only one"
+            )
+        p_len = 0
+        p_bucket = 0
+        if prompt_feat is not None:
+            prompt_feat = np.asarray(prompt_feat, np.float32)
+            prompt_h = np.asarray(prompt_h, np.float32)
+            for name, arr in (("prompt_feat", prompt_feat), ("prompt_h", prompt_h)):
+                if arr.ndim != 2 or arr.shape[1] != 80:
+                    raise ValueError(f"{name} must be (T_p, 80), got {arr.shape}")
+            p_len = int(prompt_feat.shape[0])
+            if prompt_h.shape[0] != p_len:
+                raise ValueError(
+                    f"prompt_feat/prompt_h lengths differ: {p_len} vs "
+                    f"{prompt_h.shape[0]}"
+                )
+            if p_len > bkt.PROMPT_BUCKETS[-1]:
+                raise ValueError(
+                    f"cloning prompt is {p_len} mel frames — past the largest "
+                    f"prompt bucket {bkt.PROMPT_BUCKETS[-1]} (~"
+                    f"{bkt.PROMPT_BUCKETS[-1] * self.cfg.audio.hop_length / self.cfg.audio.sample_rate:.0f} s); "
+                    "trim the reference audio"
+                )
+            # fixed head region: 512 keeps prompt+mel totals on the same
+            # 512-grid as promptless long-form (flash-eligible, shared
+            # graph family); lcm-extended so odd seq meshes still shard
+            p_bucket = math.lcm(512, granule)
+
         mu_y, c, y_len = self.prepare_stream(
             text, lang=lang, phone=phone, spk_embed=spk_embed,
             length_scale=length_scale, prepped=prepped,
@@ -794,17 +847,25 @@ class Synthesizer:
                 t_mel = want
         else:
             t_mel = want
+        # total solve length: fixed prompt head + the mel shape table above
+        # (p_bucket is a 512/granule multiple, so totals stay on the same
+        # flash-eligible grid and the mesh still shards them)
+        t_total = p_bucket + t_mel
         t1 = time.perf_counter()
 
-        mu = np.zeros((1, t_mel, 80), np.float32)
-        mu[0, :y_len] = np.asarray(mu_y)[:y_len]
-        mask = (np.arange(t_mel) < y_len).astype(np.float32)[None, :, None]
+        mu = np.zeros((1, t_total, 80), np.float32)
+        cond = np.zeros((1, t_total, 80), np.float32)
+        if p_len:
+            mu[0, :p_len] = prompt_h
+            cond[0, :p_len] = prompt_feat
+        mu[0, p_len : p_len + y_len] = np.asarray(mu_y)[:y_len]
+        valid = p_len + y_len
+        mask = (np.arange(t_total) < valid).astype(np.float32)[None, :, None]
         spks = np.asarray(c, np.float32).reshape(1, -1)
-        cond = np.zeros((1, t_mel, 80), np.float32)
-        noise = jnp.asarray(rand_noise_extended(t_mel))
+        noise = jnp.asarray(rand_noise_extended(t_total))
 
         if mesh is None:
-            mel = self._long_solve_fn(t_mel, n_timesteps)(
+            mel = self._long_solve_fn(t_total, n_timesteps)(
                 self.params_tts["decoder"], jnp.asarray(mu),
                 jnp.asarray(mask), jnp.asarray(spks), jnp.asarray(cond),
                 noise,
@@ -823,6 +884,13 @@ class Synthesizer:
                 noise,
             )
             mel = jax.device_put(mel, jax.devices()[0])  # gather for vocode
+        if p_bucket:
+            # strip the prompt region on device: generated frames start at
+            # the TRACED p_len (contiguous graft), static size t_mel — one
+            # cached graph per (t_total, t_mel), no per-p_len recompiles
+            mel = self._long_strip_fn(t_total, t_mel)(
+                mel, jnp.int32(p_len)
+            )
         t2 = time.perf_counter()
 
         wav = self._voc_fn(t_mel, pcm16)(self.params_hift, mel)

@@ -171,15 +171,19 @@ def gspmd_safe_tts_cfg(tts_cfg: TTSConfig) -> TTSConfig:
     return dataclasses.replace(tts_cfg, cfm=cfm)
 
 
-def make_train_step(tts_cfg: TTSConfig, train_cfg: TrainConfig, tx):
-    """Returns a jittable (state, rng, batch) -> (state, metrics) step."""
+def make_train_step(tts_cfg: TTSConfig, train_cfg: TrainConfig, tx,
+                    train_dropout: bool = True):
+    """Returns a jittable (state, rng, batch) -> (state, metrics) step.
+
+    train_dropout=False disables the reference's training-time dropout
+    (prenet 0.5 / encoder 0.1) — used by deterministic overfit tests."""
 
     sched = lr_schedule(train_cfg)
 
     def step(state: TrainState, rng: Array, batch) -> Tuple[TrainState, dict]:
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, tts_cfg, train_cfg, rng, batch)
+        )(state.params, tts_cfg, train_cfg, rng, batch, train_dropout)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # norm over TRAINABLE leaves only: value_and_grad still produces

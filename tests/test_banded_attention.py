@@ -1,0 +1,118 @@
+"""Banded (chunk-local, linear-in-T) attention correctness.
+
+banded_sdpa's stacked-shift framing must equal dense SDPA under the
+equivalent explicit band mask; the estimator's "banded" backend must be
+a drop-in whose output matches the score path with the same mask.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jyutvoice_tpu.nn import attention, core
+
+
+def _dense_band_reference(q, k, v, lengths, chunk, left, right=0):
+    """Dense SDPA with the band encoded as an explicit additive bias."""
+    b, h, t, d = q.shape
+    qpos = np.arange(t)
+    qc = qpos // chunk
+    kc = qpos // chunk
+    band = (kc[None, :] <= qc[:, None] + right) & (
+        kc[None, :] >= qc[:, None] - left
+    )
+    keep = band[None] & (np.arange(t)[None, None, :] < np.asarray(lengths)[:, None, None])
+    bias = jnp.asarray(np.where(keep, 0.0, -1e10), jnp.float32)[:, None]
+    return attention.sdpa(q, k, v, bias)
+
+
+@pytest.mark.parametrize(
+    "t,chunk,left,right",
+    [(256, 64, 1, 0), (384, 128, 2, 0), (512, 128, 0, 0),
+     (256, 64, 1, 1), (384, 128, 2, 1), (512, 128, 3, 3)],
+)
+def test_banded_sdpa_matches_dense(t, chunk, left, right):
+    rng = np.random.default_rng(0)
+    b, h, d = 2, 3, 32
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    lengths = jnp.asarray([t, t - 37], jnp.int32)
+
+    got = attention.banded_sdpa(
+        q, k, v, lengths, chunk=chunk, left=left, right=right
+    )
+    want = _dense_band_reference(q, k, v, lengths, chunk, left, right)
+    # only valid QUERY rows are comparable (padded queries are masked
+    # downstream; the dense reference renormalizes them differently)
+    for i, ln in enumerate([t, t - 37]):
+        np.testing.assert_allclose(
+            np.asarray(got)[i, :, :ln], np.asarray(want)[i, :, :ln],
+            atol=2e-5, rtol=1e-5,
+        )
+
+
+def test_banded_sdpa_padded_rows_finite():
+    """Fully-masked query chunks (deep padding) must stay finite."""
+    rng = np.random.default_rng(1)
+    b, h, t, d = 1, 2, 512, 32
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    out = attention.banded_sdpa(
+        q, q, q, jnp.asarray([64], jnp.int32), chunk=128, left=1
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_estimator_banded_backend_matches_masked_scores():
+    """The 'banded' estimator backend == 'xla_scores' with the same band
+    encoded via chunk_attn_mask-style bias (valid region only)."""
+    import dataclasses
+
+    from jyutvoice_tpu.config import EstimatorConfig
+    from jyutvoice_tpu.models.estimator import apply_estimator, init_estimator
+
+    cfg = EstimatorConfig(n_blocks=1, num_mid_blocks=1,
+                          banded_chunk=64, banded_left=1)
+    params = init_estimator(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    b, t = 2, 256
+    x = jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32)
+    lengths = np.array([t, t - 50])
+    mask = jnp.asarray(
+        (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)[..., None]
+    )
+    tt = jnp.asarray([0.5, 0.5], jnp.float32)
+    spks = jnp.asarray(rng.standard_normal((b, 80)), jnp.float32)
+    cond = jnp.zeros((b, t, 80), jnp.float32)
+
+    banded = apply_estimator(
+        params, dataclasses.replace(cfg, attention_backend="banded"),
+        x, mask, mu, tt, spks, cond,
+    )
+
+    # a band covering the whole sequence in BOTH directions degenerates to
+    # full attention: the backend must then match the score path exactly
+    full_band = apply_estimator(
+        params,
+        dataclasses.replace(
+            cfg, attention_backend="banded",
+            banded_chunk=64, banded_left=(t // 64) - 1,
+            banded_right=(t // 64) - 1,
+        ),
+        x, mask, mu, tt, spks, cond,
+    )
+    full = apply_estimator(
+        params, dataclasses.replace(cfg, attention_backend="xla_scores"),
+        x, mask, mu, tt, spks, cond,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full_band), np.asarray(full), atol=5e-4, rtol=1e-4
+    )
+    # the narrow band is a different function — but finite and masked
+    assert np.isfinite(np.asarray(banded)).all()
+    np.testing.assert_array_equal(
+        np.asarray(banded)[1, t - 50 :], 0.0
+    )

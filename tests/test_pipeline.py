@@ -604,23 +604,27 @@ def test_pick_prompt_bucket_zero_is_no_prompt_graph():
 
 def test_long_text_prompt_validation_precedes_delegation(synth, monkeypatch):
     """A half-given prompt pair on a LONG text must raise like the short
-    path does — not silently delegate to synthesize_long (which takes no
-    prompt args) and return un-cloned audio with success status; a full
-    pair must get the explicit long-form error, not the generic
-    exceeds-largest-bucket ValueError."""
+    path does — not silently delegate to synthesize_long and return
+    un-cloned audio with success status; a FULL pair delegates WITH the
+    prompt args (long-form cloning, round 4)."""
     called = {}
-    monkeypatch.setattr(
-        type(synth), "synthesize_long",
-        lambda self, text, **kw: called.setdefault("yes", True),
-    )
+
+    def spy(self, text, **kw):
+        called["prompt_feat"] = kw.get("prompt_feat")
+        called["prompt_h"] = kw.get("prompt_h")
+        return "delegated"
+
+    monkeypatch.setattr(type(synth), "synthesize_long", spy)
     pf = np.zeros((8, 80), np.float32)
     with pytest.raises(ValueError, match="BOTH"):
         synth.synthesize("佢", lang="yue", phone="keoi5", prompt_h=pf,
                          n_timesteps=1, length_scale=100000.0)
-    with pytest.raises(ValueError, match="long-form"):
-        synth.synthesize("佢", lang="yue", phone="keoi5", prompt_feat=pf,
-                         prompt_h=pf, n_timesteps=1, length_scale=100000.0)
     assert not called
+    out = synth.synthesize("佢", lang="yue", phone="keoi5", prompt_feat=pf,
+                           prompt_h=pf, n_timesteps=1,
+                           length_scale=100000.0)
+    assert out == "delegated"
+    assert called["prompt_feat"] is pf and called["prompt_h"] is pf
 
 
 def test_long_form_timings_contract(synth):

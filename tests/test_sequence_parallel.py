@@ -201,6 +201,75 @@ def test_synthesize_long_pipeline_matches_plain_and_sp():
     assert corr > 0.9999, corr
 
 
+def test_synthesize_long_cloning_prompt_matches_plain():
+    """Long-form cloning (round 4): the prompt grafts contiguously at the
+    front exactly like synthesize()'s graft, so the same text+prompt must
+    produce the same mel through both paths (the padded shapes differ —
+    512-frame head vs pick_prompt_bucket — but the valid region is
+    identical and the graphs are mask-invariant); also covers the SP mesh
+    and ring attention with a prompt (suffix mask stays GSPMD-shardable)."""
+    from jyutvoice_tpu.models.hift import init_hift
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    synth = Synthesizer(TINY, params, params_hift)
+    rng = np.random.default_rng(5)
+    pf = rng.standard_normal((24, 80)).astype(np.float32)
+    ph = rng.standard_normal((24, 80)).astype(np.float32)
+    kw = dict(lang="yue", phone="keoi5 hai6 bin1 go3", n_timesteps=2,
+              prompt_feat=pf, prompt_h=ph)
+
+    plain = synth.synthesize("佢 係邊 個", **kw)
+    single = synth.synthesize_long("佢 係邊 個", mesh=None, **kw)
+    assert single.mel_frames == plain.mel_frames
+    np.testing.assert_allclose(single.mel, plain.mel, atol=1e-3)
+    n = min(len(single.wav), len(plain.wav))
+    corr = np.corrcoef(single.wav[:n], plain.wav[:n])[0, 1]
+    assert corr > 0.999, corr
+    # cloning actually changed the output vs prompt-free
+    free = synth.synthesize_long(
+        "佢 係邊 個", mesh=None, lang="yue",
+        phone="keoi5 hai6 bin1 go3", n_timesteps=2,
+    )
+    assert np.abs(single.mel - free.mel).mean() > 1e-4
+
+    for attn in ("scores", "ring"):
+        sp = synth.synthesize_long(
+            "佢 係邊 個", mesh=make_sp_mesh(8), sp_attention=attn, **kw
+        )
+        assert sp.mel_frames == single.mel_frames
+        np.testing.assert_allclose(
+            sp.mel, single.mel, atol=5e-4, rtol=1e-3,
+            err_msg=f"sp_attention={attn}",
+        )
+
+
+def test_synthesize_long_prompt_validation():
+    from jyutvoice_tpu.models.hift import init_hift
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    synth = Synthesizer(TINY, params, params_hift)
+    pf = np.zeros((8, 80), np.float32)
+    with pytest.raises(ValueError, match="BOTH"):
+        synth.synthesize_long("佢", phone="keoi5", prompt_feat=pf)
+    with pytest.raises(ValueError, match=r"\(T_p, 80\)"):
+        synth.synthesize_long("佢", phone="keoi5",
+                              prompt_feat=np.zeros((8, 81), np.float32),
+                              prompt_h=pf)
+    with pytest.raises(ValueError, match="lengths differ"):
+        synth.synthesize_long("佢", phone="keoi5", prompt_feat=pf,
+                              prompt_h=np.zeros((9, 80), np.float32))
+    with pytest.raises(ValueError, match="largest prompt bucket"):
+        synth.synthesize_long(
+            "佢", phone="keoi5",
+            prompt_feat=np.zeros((513, 80), np.float32),
+            prompt_h=np.zeros((513, 80), np.float32),
+        )
+
+
 def test_synthesize_long_pcm16_matches_f32():
     from jyutvoice_tpu.models.hift import init_hift
     from jyutvoice_tpu.pipeline.synthesize import Synthesizer

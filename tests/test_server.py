@@ -230,13 +230,11 @@ def test_batch_dispatch_overlong_culprit_indices(synth, monkeypatch):
     assert ei.value.indices == (1,)
 
 
-def test_engine_overlong_item_reroutes_or_fails_by_prompt(synth, monkeypatch):
-    """Items past the batch mel table: a PROMPT-FREE culprit is rerouted
-    through synthesize_long (no 15000-frame cap there — e.g. a large
-    engine length_scale pushing an interactive text past the table); a
-    CLONING culprit fails its own request (prompt grafting is not wired
-    into the long path); innocent co-batched requests are re-dispatched,
-    not poisoned."""
+def test_engine_overlong_item_reroutes_incl_cloning(synth, monkeypatch):
+    """Items past the batch mel table reroute through synthesize_long —
+    cloning culprits included since round 4 (the long path grafts prompts
+    into its fixed 512-frame head); innocent co-batched requests are
+    re-dispatched, not poisoned."""
     from jyutvoice_tpu.pipeline.synthesize import OverLongBatchItems
 
     real = synth.synthesize_batch_dispatch
@@ -253,7 +251,7 @@ def test_engine_overlong_item_reroutes_or_fails_by_prompt(synth, monkeypatch):
     real_long = type(synth).synthesize_long
 
     def spy(self, text, **kw):
-        long_called.append(text)
+        long_called.append((text, kw.get("prompt_feat") is not None))
         return real_long(self, text, **kw)
 
     monkeypatch.setattr(synth, "synthesize_batch_dispatch", fake)
@@ -262,18 +260,17 @@ def test_engine_overlong_item_reroutes_or_fails_by_prompt(synth, monkeypatch):
         synth, max_batch=4, max_wait_ms=300.0, n_timesteps=2
     ) as engine:
         rerouted = engine.submit("佢", lang="yue", phone="keoi5")
-        bad = engine.submit(
+        cloned = engine.submit(
             "我", lang="yue", phone="ngo5",
             prompt_feat=np.zeros((8, 80), np.float32),
             prompt_h=np.zeros((8, 80), np.float32),
         )
         good = engine.submit("你好", lang="yue", phone="nei5 hou2")
         assert rerouted.result(timeout=600).mel_frames > 0
-        with pytest.raises(ValueError, match="mel frames"):
-            bad.result(timeout=600)
+        assert cloned.result(timeout=600).mel_frames > 0
         assert good.result(timeout=600).mel_frames > 0
-    assert long_called == ["佢"]
-    assert engine.stats.errors == 1
+    assert sorted(long_called) == [("佢", False), ("我", True)]
+    assert engine.stats.errors == 0
 
 
 def test_streaming_lane_cloning_prompt(synth):
