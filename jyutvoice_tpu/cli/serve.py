@@ -202,9 +202,12 @@ def main(argv=None) -> None:
             n_timesteps=(args.n_timesteps,),
             pcm16=True,
             log_fn=lambda m: log.info("%s", m),
-            # warm the SAME solve graphs the engine will pick
+            # warm the SAME solve graphs the engine will pick — incl. the
+            # prompt-headed cloning shapes (the engine reroutes over-long
+            # cloning requests through synthesize_long since round 4)
             mesh=sp_mesh,
             sp_attention=args.sp_attention,
+            with_prompt=True,
         )
         log.info(
             "warmup-long: %d graphs in %.1f s", n, time.perf_counter() - t0

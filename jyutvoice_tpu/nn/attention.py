@@ -432,31 +432,34 @@ def banded_sdpa(
     w = n_slabs * chunk
     scale = 1.0 / math.sqrt(d)
 
+    # slab-wise form: NEVER materialize the (B,H,nc,w,d) banded K/V copies
+    # (an n_slabs-fold HBM write that measured 0.24-0.96x of full flash at
+    # T=2048) — each window slab j of chunk c is just padded chunk c+j, a
+    # shifted VIEW of K/V, so scores are n_slabs chunk-vs-chunk batched
+    # matmuls concatenated on the window axis, and the prob@V contraction
+    # accumulates per slab the same way. Only the (B,H,nc,chunk,w) score/
+    # prob tensor (the linear-in-T one) is ever materialized.
+    score_t = jnp.bfloat16 if compact_scores else jnp.float32
+    mm_t = jnp.bfloat16 if compact_scores else k.dtype
     kp = jnp.pad(k, ((0, 0), (0, 0), (left * chunk, right * chunk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (left * chunk, right * chunk), (0, 0)))
-    # band[c] = padded[c*chunk : c*chunk + w]: stack the n_slabs shifted
-    # chunk-grids — window slab j of chunk c is padded chunk c+j
-    kb = jnp.stack(
-        [
-            jax.lax.slice_in_dim(kp, j * chunk, j * chunk + t, axis=2)
-            .reshape(b, h, nc, chunk, d)
-            for j in range(n_slabs)
-        ],
-        axis=3,
-    ).reshape(b, h, nc, w, d)
-    vb = jnp.stack(
-        [
-            jax.lax.slice_in_dim(vp, j * chunk, j * chunk + t, axis=2)
-            .reshape(b, h, nc, chunk, d)
-            for j in range(n_slabs)
-        ],
-        axis=3,
-    ).reshape(b, h, nc, w, d)
+    kp = kp.astype(mm_t)
+    qc = q.reshape(b, h, nc, chunk, d).astype(mm_t)
 
-    score_t = jnp.bfloat16 if compact_scores else jnp.float32
-    qc = q.reshape(b, h, nc, chunk, d)
-    scores = jnp.einsum(
-        "bhcqd,bhcwd->bhcqw", qc, kb, preferred_element_type=score_t
+    def slab(x, j):
+        return jax.lax.slice_in_dim(x, j * chunk, j * chunk + t, axis=2).reshape(
+            b, h, nc, chunk, x.shape[-1]
+        )
+
+    scores = jnp.concatenate(
+        [
+            jnp.einsum(
+                "bhcqd,bhckd->bhcqk", qc, slab(kp, j),
+                preferred_element_type=score_t,
+            )
+            for j in range(n_slabs)
+        ],
+        axis=-1,
     ) * jnp.asarray(scale, score_t)
 
     # absolute key position of window slot (c, wi) = c*chunk - left*chunk + wi
@@ -468,13 +471,17 @@ def banded_sdpa(
         keep[:, None, :, None, :], scores, jnp.asarray(-1e10, scores.dtype)
     )
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    if compact_scores:
-        out = jnp.einsum(
-            "bhcqw,bhcwd->bhcqd", probs.astype(jnp.bfloat16),
-            vb.astype(jnp.bfloat16), preferred_element_type=v.dtype,
+    probs = probs.astype(jnp.bfloat16 if compact_scores else vp.dtype)
+    vp = vp.astype(mm_t)
+    out = sum(
+        jnp.einsum(
+            "bhcqk,bhckd->bhcqd",
+            jax.lax.slice_in_dim(probs, j * chunk, (j + 1) * chunk, axis=-1),
+            slab(vp, j),
+            preferred_element_type=v.dtype,
         )
-    else:
-        out = jnp.einsum("bhcqw,bhcwd->bhcqd", probs, vb)
+        for j in range(n_slabs)
+    )
     return out.reshape(b, h, t, d)
 
 

@@ -545,11 +545,32 @@ class Synthesizer:
             yield chunk[:emit]
             total += emit
 
-    def _long_solve_fn(self, t_mel: int, n_timesteps: int):
-        """Single-device long-form CFM solve graph, cached per shape."""
-        key = ("long_solve", t_mel, n_timesteps)
+    def _long_solve_fn(self, t_mel: int, n_timesteps: int,
+                       attention: str = "auto"):
+        """Single-device long-form CFM solve graph, cached per shape.
+
+        attention="banded" swaps the estimator to the linear chunk-band
+        backend (nn/attention.py::banded_sdpa) — an opt-in approximation
+        for very long decodes (docs/design.md round-4 section); "auto"
+        keeps the configured backend (stock-flash gate at 512-aligned
+        T >= 2048)."""
+        key = ("long_solve", t_mel, n_timesteps, attention)
         if key not in self._mel_fns:
             cfm_cfg = self.cfg.tts.cfm
+            if attention == "banded":
+                import dataclasses
+
+                cfm_cfg = dataclasses.replace(
+                    cfm_cfg,
+                    estimator=dataclasses.replace(
+                        cfm_cfg.estimator, attention_backend="banded"
+                    ),
+                )
+            elif attention != "auto":
+                raise ValueError(
+                    f"unknown long-form attention {attention!r} "
+                    "(use 'auto' or 'banded')"
+                )
 
             @jax.jit
             def solve(dec, mu, mask, spks, cond, noise):
@@ -616,6 +637,7 @@ class Synthesizer:
         log_fn=None,
         mesh=None,
         sp_attention: str = "scores",
+        with_prompt: bool = False,
     ) -> int:
         """Pre-compile the long-form (synthesize_long) graph family.
 
@@ -628,7 +650,10 @@ class Synthesizer:
         sizes). With mesh/sp_attention the solve graphs warmed are the
         sequence-parallel ones that synthesize_long(mesh=...) will pick
         (the default 512-multiples are valid for any power-of-2 mesh).
-        Returns graphs driven.
+        with_prompt=True additionally warms the cloning variants: the
+        solve at p_bucket + t_mel (512-frame prompt head), the strip
+        graph, and the t_mel vocoder — the shapes
+        synthesize_long(prompt_feat=...) picks. Returns graphs driven.
         """
 
         from jyutvoice_tpu.weights.noise import rand_noise_extended
@@ -666,34 +691,54 @@ class Synthesizer:
         spks = jnp.zeros((1, 80), jnp.float32)
         if mesh is not None:
             from jyutvoice_tpu.dist.sp import seq_sharding
+        p_bucket = 0
+        if with_prompt:
+            n_seq = 1
+            if mesh is not None:
+                from jyutvoice_tpu.dist.sp import SEQ_AXIS
+
+                n_seq = mesh.shape[SEQ_AXIS]
+            p_bucket = math.lcm(512, long_frame_granule(n_seq))
         for t_mel in mel_sizes:
-            mu = jnp.zeros((1, t_mel, 80), jnp.float32)
-            mask = jnp.ones((1, t_mel, 1), jnp.float32)
-            cond = jnp.zeros((1, t_mel, 80), jnp.float32)
-            noise = jnp.asarray(rand_noise_extended(t_mel))
-            for steps in n_timesteps:
-                if mesh is None:
-                    mel = self._long_solve_fn(t_mel, steps)(
-                        self.params_tts["decoder"], mu, mask, spks, cond,
-                        noise,
-                    )
-                else:
-                    run, dec = self._long_sp_fn(mesh, steps, sp_attention)
-                    seq = seq_sharding(mesh)
-                    mel = run(
-                        dec,
-                        jax.device_put(mu, seq),
-                        jax.device_put(mask, seq),
-                        spks,
-                        jax.device_put(cond, seq),
-                        noise,
-                    )
-                    mel = jax.device_put(mel, jax.devices()[0])
-                wav = self._voc_fn(t_mel, pcm16)(self.params_hift, mel)
-                jax.block_until_ready(wav)
-                count += 1
-                if log_fn:
-                    log_fn(f"warmup_long: mel {t_mel} x {steps} steps ready")
+            jobs = [(t_mel, 0)]
+            if with_prompt:
+                jobs.append((p_bucket + t_mel, p_bucket))
+            for t_total, head in jobs:
+                mu = jnp.zeros((1, t_total, 80), jnp.float32)
+                mask = jnp.ones((1, t_total, 1), jnp.float32)
+                cond = jnp.zeros((1, t_total, 80), jnp.float32)
+                noise = jnp.asarray(rand_noise_extended(t_total))
+                for steps in n_timesteps:
+                    if mesh is None:
+                        mel = self._long_solve_fn(t_total, steps)(
+                            self.params_tts["decoder"], mu, mask, spks, cond,
+                            noise,
+                        )
+                    else:
+                        run, dec = self._long_sp_fn(mesh, steps, sp_attention)
+                        seq = seq_sharding(mesh)
+                        mel = run(
+                            dec,
+                            jax.device_put(mu, seq),
+                            jax.device_put(mask, seq),
+                            spks,
+                            jax.device_put(cond, seq),
+                            noise,
+                        )
+                        mel = jax.device_put(mel, jax.devices()[0])
+                    if head:
+                        mel = self._long_strip_fn(t_total, t_mel)(
+                            mel, jnp.int32(head)
+                        )
+                    wav = self._voc_fn(t_mel, pcm16)(self.params_hift, mel)
+                    jax.block_until_ready(wav)
+                    count += 1
+                    if log_fn:
+                        log_fn(
+                            f"warmup_long: mel {t_mel}"
+                            + (f" +prompt{head}" if head else "")
+                            + f" x {steps} steps ready"
+                        )
         return count
 
     def _stream_enc_fn(self, t_text: int):
@@ -739,12 +784,19 @@ class Synthesizer:
         n_timesteps: int = 10,
         length_scale: float = 1.0,
         sp_attention: str = "scores",
+        attention: str = "auto",
         pcm16: bool = False,
         dequantize: bool = True,
         return_mel: bool = True,
         prepped=None,
     ) -> SynthesisResult:
         """One-pass long-form synthesis, optionally sequence-parallel.
+
+        attention (single-device path): "auto" = the configured backend
+        (flash-gated full attention, the parity semantic); "banded" =
+        the linear chunk-band approximation (EstimatorConfig.banded_*)
+        — opt-in for very long decodes where the quadratic term
+        dominates; divergence and speedups in docs/design.md round 4.
 
         With `mesh` (a jax.sharding.Mesh with a "seq" axis — dist/sp.py),
         the CFM decode shards the sequence axis across the mesh: per-chip
@@ -783,6 +835,16 @@ class Synthesizer:
         from jyutvoice_tpu.weights.noise import rand_noise_extended
 
         t0 = time.perf_counter()
+        if attention not in ("auto", "banded"):
+            raise ValueError(
+                f"unknown long-form attention {attention!r} "
+                "(use 'auto' or 'banded')"
+            )
+        if attention == "banded" and mesh is not None:
+            raise ValueError(
+                "attention='banded' is the single-device long-form "
+                "path; sharded decodes pick sp_attention instead"
+            )
         n_seq = 1
         if mesh is not None:
             from jyutvoice_tpu.dist.sp import SEQ_AXIS
@@ -847,6 +909,12 @@ class Synthesizer:
                 t_mel = want
         else:
             t_mel = want
+        if attention == "banded" and mesh is None:
+            # the chunk-band framing needs T % banded_chunk == 0 (the
+            # shape table's sub-1536 granule is 32); p_bucket is already
+            # a 512-multiple
+            bc = self.cfg.tts.cfm.estimator.banded_chunk
+            t_mel = int(np.ceil(t_mel / bc)) * bc
         # total solve length: fixed prompt head + the mel shape table above
         # (p_bucket is a 512/granule multiple, so totals stay on the same
         # flash-eligible grid and the mesh still shards them)
@@ -865,7 +933,7 @@ class Synthesizer:
         noise = jnp.asarray(rand_noise_extended(t_total))
 
         if mesh is None:
-            mel = self._long_solve_fn(t_total, n_timesteps)(
+            mel = self._long_solve_fn(t_total, n_timesteps, attention)(
                 self.params_tts["decoder"], jnp.asarray(mu),
                 jnp.asarray(mask), jnp.asarray(spks), jnp.asarray(cond),
                 noise,

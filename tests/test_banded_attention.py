@@ -65,6 +65,29 @@ def test_banded_sdpa_padded_rows_finite():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_synthesize_long_banded_option():
+    """synthesize_long(attention='banded') runs the linear-band solve and
+    produces output close to the full-attention solve at short T (where
+    the band covers most of the sequence); unknown modes raise."""
+    from tests.test_pipeline import TINY
+    from jyutvoice_tpu.models.hift import init_hift
+    from jyutvoice_tpu.models.tts import init_tts
+    from jyutvoice_tpu.pipeline.synthesize import Synthesizer
+
+    params = init_tts(jax.random.PRNGKey(0), TINY.tts)
+    params_hift = init_hift(jax.random.PRNGKey(1), TINY.hift)
+    synth = Synthesizer(TINY, params, params_hift)
+    kw = dict(lang="yue", phone="keoi5 hai6 bin1 go3", n_timesteps=2)
+    full = synth.synthesize_long("佢 係邊 個", **kw)
+    band = synth.synthesize_long("佢 係邊 個", attention="banded", **kw)
+    assert band.mel_frames == full.mel_frames
+    assert np.isfinite(band.mel).all()
+    # T here is way below the band window: outputs should be close
+    assert np.abs(band.mel - full.mel).mean() < 5e-2
+    with pytest.raises(ValueError, match="unknown long-form attention"):
+        synth.synthesize_long("佢 係邊 個", attention="bogus", **kw)
+
+
 def test_estimator_banded_backend_matches_masked_scores():
     """The 'banded' estimator backend == 'xla_scores' with the same band
     encoded via chunk_attn_mask-style bias (valid region only)."""

@@ -495,7 +495,8 @@ def test_warmup_long(synth):
     )
     assert n == 2
     keys = set(synth._mel_fns)
-    assert ("stream_enc", 64) in keys and ("long_solve", 128, 1) in keys
+    assert ("stream_enc", 64) in keys
+    assert ("long_solve", 128, 1, "auto") in keys
     before = len(synth._mel_fns)
     res = synth.synthesize_long(
         "佢", lang="yue", phone="keoi5", n_timesteps=1
@@ -504,6 +505,19 @@ def test_warmup_long(synth):
     # the tiny utterance lands in already-warmed buckets -> no new graphs
     # beyond the text bucket its real length picks
     assert len(synth._mel_fns) <= before + 2
+
+
+def test_warmup_long_with_prompt(synth):
+    """with_prompt=True additionally warms the cloning shapes (512-frame
+    prompt head solve + strip) that synthesize_long(prompt_feat=...)
+    picks."""
+    n = synth.warmup_long(
+        mel_sizes=(128,), text_buckets=(), n_timesteps=(1,),
+        with_prompt=True,
+    )
+    assert n == 2  # plain 128 + prompt-headed 640
+    assert ("long_solve", 640, 1, "auto") in synth._mel_fns
+    assert ("long_strip", 640, 128) in synth._mel_fns
 
 
 def test_warmup_long_sp_mesh(synth):
