@@ -258,6 +258,16 @@ def main():
                         str(t): round(v, 4) for t, v in mfu.items()
                     },
                     "peak_tflops_denominator": PEAK_TFLOPS,
+                    # buckets whose estimator total (prompt 512 + mel)
+                    # crosses banded_long_threshold decode with the
+                    # (2,2) chunk-band default — ~2% mel divergence vs
+                    # full attention, docs/design.md round 4
+                    "long_attention": (
+                        f"banded@T>="
+                        f"{cfg.tts.cfm.estimator.banded_long_threshold}"
+                        if cfg.tts.cfm.estimator.banded_long_threshold
+                        else "flash"
+                    ),
                     "regressions_vs_prev": regressions,
                     "prev_curve_from": prev_round,
                     "platform": jax.devices()[0].platform,

@@ -102,10 +102,21 @@ class EstimatorConfig:
     # (nn/attention.py::banded_sdpa). Chunks are MXU-aligned (128)
     # rather than the reference's 50-frame streaming chunks; the window
     # is (banded_left+1+banded_right)*banded_chunk frames (defaults:
-    # 1152 frames ≈ 23 s of context around each query).
+    # 640 frames ≈ 12.8 s of symmetric context around each query — the
+    # measured speed/divergence sweet spot; (4,4) halves the divergence
+    # at ~0.6x the speed win, scripts/profile_dense_banded.py).
     banded_chunk: int = 128
-    banded_left: int = 4
-    banded_right: int = 4  # lookahead chunks (full attention is bidirectional)
+    banded_left: int = 2
+    banded_right: int = 2  # lookahead chunks (full attention is bidirectional)
+    # Default long-form gate: full-attention "xla" graphs at
+    # T >= banded_long_threshold (TPU, 128-aligned) route to a (2,2)
+    # chunk-band — 640-frame (12.8 s) symmetric context per query.
+    # Measured on the 10-step solve (scripts/profile_dense_banded.py,
+    # v5e): 2.46x at T=8192, 3.29x at 12288, mel MAE vs full attention
+    # 1.7-2.1e-2 (~2% of |out|) — an order less divergence than the
+    # reference's own streaming chunk semantics produce (5.8e-2-1.4e-1).
+    # 0 disables (stock flash stays the long-form backend).
+    banded_long_threshold: int = 8192
     # "matmul" expresses the k=3 causal convs as shifted matmuls: identical
     # math, but avoids XLA conv<->matmul layout boundaries that break fusion
     # when convs interleave with attention at larger batches — 2.7x faster

@@ -151,8 +151,17 @@ def cfm_loss(
     # scripts/profile_stockflash_solve.py style, recorded docs/design.md).
     # Training masks are contiguous-prefix (fix_len_compatibility pads at
     # the end), so the flash suffix-length semantics hold.
+    # The BANDED long-form gate does NOT: unlike flash (numerically
+    # equivalent), the band changes the function being trained — a
+    # T >= 8192 training batch must still backprop exact full attention,
+    # so the gate is disabled for the loss graph.
+    est_cfg = cfg.estimator
+    if est_cfg.banded_long_threshold and est_cfg.attention_backend == "xla":
+        import dataclasses
+
+        est_cfg = dataclasses.replace(est_cfg, banded_long_threshold=0)
     pred = est.apply_estimator(
-        params, cfg.estimator, y, mask, mu, t[:, 0, 0], spks, cond, streaming
+        params, est_cfg, y, mask, mu, t[:, 0, 0], spks, cond, streaming
     )
     num = jnp.sum(jnp.square((pred - u) * mask))
     den = jnp.sum(mask) * u.shape[-1]

@@ -137,6 +137,22 @@ def use_compact_scores(batch2: int, t: int) -> bool:
     return batch2 * t >= 8192 or t >= 1536
 
 
+def use_banded(t: int, chunk: int, cfg: EstimatorConfig) -> bool:
+    """Default long-form banded gate for the "xla" backend: at
+    T >= banded_long_threshold the quadratic attention term dominates the
+    solve and the (2,2) chunk-band (640-frame symmetric context) wins
+    2.46x (T=8192) to 3.29x (T=12288) over stock flash at ~2% mel
+    divergence (scripts/profile_dense_banded.py; docs/design.md round 4).
+    Full attention only, 128-aligned T, TPU (CPU parity tests keep exact
+    full attention). Set banded_long_threshold=0 to disable."""
+    return (
+        chunk == 0
+        and cfg.banded_long_threshold > 0
+        and t >= cfg.banded_long_threshold
+        and t % cfg.banded_chunk == 0
+    )
+
+
 def use_stock_flash(t: int, chunk: int) -> bool:
     """Long-form flash gate: the stock jax TPU flash kernel (3-D grid,
     pipelined DMA — unlike nn/pallas/attention.py's full-K/V-in-VMEM form,
@@ -370,6 +386,20 @@ def apply_estimator(
             "kv_valid": mask[:, :, 0],
             "mesh": ring_mesh,
             "axis": ring_axis,
+        }
+    elif (
+        cfg.attention_backend == "xla"
+        and jax.default_backend() == "tpu"
+        and use_banded(seq, chunk, cfg)
+    ):
+        # default long-form gate: linear chunk-band past the threshold
+        # (wins 2.46-3.29x over flash at T=8192-12288; use_banded doc)
+        attn_ctx = {
+            "backend": "banded",
+            "lengths": jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32),
+            "chunk": cfg.banded_chunk,
+            "left": cfg.banded_left,
+            "right": cfg.banded_right,
         }
     elif (
         cfg.attention_backend == "xla"

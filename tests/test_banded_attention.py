@@ -65,6 +65,60 @@ def test_banded_sdpa_padded_rows_finite():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_use_banded_default_gate():
+    """Default long-form gate (models/estimator.py::use_banded): on for
+    full-attention 128-aligned T past banded_long_threshold; off below,
+    off for streaming chunks, off when disabled."""
+    from jyutvoice_tpu.config import EstimatorConfig
+    from jyutvoice_tpu.models import estimator as E
+
+    cfg = EstimatorConfig()
+    assert cfg.banded_long_threshold == 8192
+    assert E.use_banded(8192, 0, cfg)
+    assert E.use_banded(12288, 0, cfg)
+    assert E.use_banded(12800, 0, cfg)  # prompted total 512+12288
+    assert not E.use_banded(4096, 0, cfg)  # flash wins below threshold
+    assert not E.use_banded(8192, 50, cfg)  # streaming chunk rule
+    assert not E.use_banded(8200, 0, cfg)  # not 128-aligned
+    import dataclasses
+
+    off = dataclasses.replace(cfg, banded_long_threshold=0)
+    assert not E.use_banded(12288, 0, off)
+
+
+def test_cfm_loss_disables_banded_gate(monkeypatch):
+    """Training must backprop EXACT attention: banded (unlike flash) is a
+    different function, so cfm_loss zeroes banded_long_threshold in the
+    estimator cfg it traces."""
+    from jyutvoice_tpu.config import CFMConfig, EstimatorConfig
+    from jyutvoice_tpu.models import cfm as cfm_mod
+    from jyutvoice_tpu.models import estimator as E
+
+    seen = {}
+    orig = E.apply_estimator
+
+    def spy(params, cfg, *a, **k):
+        seen["thr"] = cfg.banded_long_threshold
+        return orig(params, cfg, *a, **k)
+
+    monkeypatch.setattr(E, "apply_estimator", spy)
+    cfg = CFMConfig(estimator=EstimatorConfig(n_blocks=1, num_mid_blocks=1))
+    assert cfg.estimator.banded_long_threshold == 8192
+    params = E.init_estimator(jax.random.PRNGKey(0), cfg.estimator)
+    rng = np.random.default_rng(0)
+    b, t = 2, 64
+    x1 = jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32)
+    mask = jnp.ones((b, t, 1), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((b, t, 80)), jnp.float32)
+    spks = jnp.asarray(rng.standard_normal((b, 80)), jnp.float32)
+    cond = jnp.zeros((b, t, 80), jnp.float32)
+    loss, _ = cfm_mod.cfm_loss(
+        params, cfg, jax.random.PRNGKey(1), x1, mask, mu, spks, cond
+    )
+    assert np.isfinite(float(loss))
+    assert seen["thr"] == 0
+
+
 def test_synthesize_long_banded_option():
     """synthesize_long(attention='banded') runs the linear-band solve and
     produces output close to the full-attention solve at short T (where
