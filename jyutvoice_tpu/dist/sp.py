@@ -104,6 +104,12 @@ def sp_cfm_solve(
     enabling ~n-fold longer one-pass decodes before the memory wall.
     Requires a 1-D ("seq",) mesh (ring inside a TP-sharded estimator would
     need the qkv projections to run under the same shard_map; not built).
+    attention="banded": the linear chunk-band (nn/attention.py::
+    banded_sdpa, geometry from cfm_cfg.estimator.banded_*) — per-chip
+    work AND memory (2B, H, T/n, w): linear in T and sharded; slab
+    slices crossing shard boundaries become GSPMD halo exchanges.
+    Approximate (~2% mel divergence vs full attention, docs/design.md
+    round 4); full attention only.
     """
     import dataclasses
 
@@ -122,11 +128,24 @@ def sp_cfm_solve(
                 "use attention='scores' for the chunk-masked solve"
             )
         backend = "ring"
+    elif attention == "banded":
+        # linear chunk-band (nn/attention.py::banded_sdpa): dense XLA
+        # einsums with no custom call, so GSPMD shards the chunk axis
+        # directly — the slab slices crossing shard boundaries become
+        # halo collective-permutes over ICI. Per-chip work is T/n * w
+        # (vs T/n * T for "scores"): the linear long-form path, sharded.
+        if streaming:
+            raise ValueError(
+                "attention='banded' supports full attention only; use "
+                "attention='scores' for the chunk-masked solve"
+            )
+        backend = "banded"
     elif attention == "scores":
         backend = "xla_scores"
     else:
         raise ValueError(
-            f"unknown attention={attention!r}: expected 'scores' or 'ring'"
+            f"unknown attention={attention!r}: expected 'scores', 'ring' "
+            "or 'banded'"
         )
     # "scores": unconditionally force the score-materializing path — no
     # pallas custom call may land inside this GSPMD-sharded graph (the

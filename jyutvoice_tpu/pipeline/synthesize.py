@@ -821,7 +821,9 @@ class Synthesizer:
         sp_attention (mesh only): "scores" = GSPMD dense path (per-chip
         score memory (2B,H,T/n,T)); "ring" = ring attention
         (dist/ring.py, per-chip tile (2B,H,T/n,T/n)) for decodes past even
-        the SP dense memory wall.
+        the SP dense memory wall; "banded" = the linear chunk-band,
+        sharded (per-chip (2B,H,T/n,w) — approximate, docs/design.md
+        round 4).
 
         pcm16=True converts the wav to int16 ON DEVICE and dequantizes on
         host: halves the dominant long-form readback bytes over a

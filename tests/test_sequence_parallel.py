@@ -163,6 +163,62 @@ def test_sp_ring_rejects_model_axis(setup):
         )
 
 
+def test_sp_banded_matches_single_device(setup):
+    """attention='banded' under SP: the chunk-band's slab slices crossing
+    shard boundaries become GSPMD halo exchanges; the T-sharded result
+    must equal the single-device banded solve."""
+    import dataclasses
+
+    params, (mu, mask, spks, cond), noise, _ = setup
+    # band small enough to be non-degenerate at T=64 on 8 shards
+    est = dataclasses.replace(
+        TINY.tts.cfm.estimator, attention_backend="banded",
+        banded_chunk=16, banded_left=1, banded_right=1,
+    )
+    cfm_banded = dataclasses.replace(TINY.tts.cfm, estimator=est)
+    ref = jax.jit(
+        lambda p, mu, mask, spks, cond: cfm_forward(
+            p, cfm_banded, mu, mask, spks, cond,
+            n_timesteps=2, rand_noise=noise,
+        )
+    )(params["decoder"], mu, mask, spks, cond)
+
+    mesh = make_sp_mesh(8)
+    dec = jax.device_put(
+        params["decoder"], sp_param_shardings(params["decoder"], mesh)
+    )
+    seq = seq_sharding(mesh)
+    # base cfg carries the banded geometry; sp_cfm_solve sets the backend
+    cfg_geo = dataclasses.replace(
+        TINY.tts.cfm,
+        estimator=dataclasses.replace(
+            TINY.tts.cfm.estimator,
+            banded_chunk=16, banded_left=1, banded_right=1,
+        ),
+    )
+    run = sp_cfm_solve(
+        params["decoder"], cfg_geo, mesh, n_timesteps=2,
+        attention="banded",
+    )
+    out = run(
+        dec,
+        jax.device_put(mu, seq),
+        jax.device_put(mask, seq),
+        spks,
+        jax.device_put(cond, seq),
+        noise,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    assert len(out.sharding.device_set) == 8
+
+    with pytest.raises(ValueError, match="full attention only"):
+        sp_cfm_solve(
+            params["decoder"], cfg_geo, mesh, n_timesteps=2,
+            attention="banded", streaming=True,
+        )
+
+
 def test_sp_rejects_indivisible_t(setup):
     params, (mu, mask, spks, cond), noise, _ = setup
     mesh = make_sp_mesh(8)
