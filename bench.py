@@ -148,10 +148,12 @@ def main():
             return voc_fn(params_hift, mel_fn(params, *args))
 
         def flops():
-            mel = mel_fn(params, *args)
+            # abstract mel operand: lowering needs only shape/dtype —
+            # never dispatch an extra multi-second solve for a FLOP count
+            mel_abs = jax.ShapeDtypeStruct((1, t_mel, 80), jnp.float32)
             return (
                 _graph_flops(mel_fn, params, *args)
-                + _graph_flops(voc_fn, params_hift, mel)
+                + _graph_flops(voc_fn, params_hift, mel_abs)
             )
 
         return run_once, flops

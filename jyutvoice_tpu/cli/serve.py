@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
         "first multi-minute request pays ~90 s of compiles otherwise",
     )
     ap.add_argument(
+        "--warmup-long-prompts", action="store_true",
+        help="with --warmup-long: also pre-compile the prompt-headed "
+        "cloning shapes (512-frame head solve + strip per mel size) — "
+        "needed only if over-long CLONING requests are expected; roughly "
+        "doubles the long-form warmup compile time",
+    )
+    ap.add_argument(
         "--sp-devices", type=int, default=0,
         help="shard long-form solves (text past the interactive buckets) "
         "over a sequence-parallel mesh of this many local devices "
@@ -95,10 +102,13 @@ def build_parser() -> argparse.ArgumentParser:
         "0 (default) = single-chip long solves",
     )
     ap.add_argument(
-        "--sp-attention", choices=("scores", "ring"), default="scores",
+        "--sp-attention", choices=("scores", "ring", "banded"),
+        default="scores",
         help="sequence-parallel attention backend: 'scores' = GSPMD dense "
         "(per-chip (2B,H,T/N,T) score slab), 'ring' = ring attention "
-        "(per-chip (T/N,T/N) tile; for decodes past the dense memory wall)",
+        "(per-chip (T/N,T/N) tile; for decodes past the dense memory "
+        "wall), 'banded' = linear chunk-band (per-chip (2B,H,T/N,w), "
+        "~2% mel divergence — docs/design.md round 4)",
     )
     ap.add_argument("--verbose", action="store_true")
     return ap
@@ -202,12 +212,13 @@ def main(argv=None) -> None:
             n_timesteps=(args.n_timesteps,),
             pcm16=True,
             log_fn=lambda m: log.info("%s", m),
-            # warm the SAME solve graphs the engine will pick — incl. the
-            # prompt-headed cloning shapes (the engine reroutes over-long
-            # cloning requests through synthesize_long since round 4)
+            # warm the SAME solve graphs the engine will pick; cloning
+            # shapes (prompt-headed solves, needed only when over-long
+            # CLONING requests occur) are opt-in — they roughly double
+            # the long-form compile bill
             mesh=sp_mesh,
             sp_attention=args.sp_attention,
-            with_prompt=True,
+            with_prompt=args.warmup_long_prompts,
         )
         log.info(
             "warmup-long: %d graphs in %.1f s", n, time.perf_counter() - t0

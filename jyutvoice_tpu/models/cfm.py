@@ -152,13 +152,19 @@ def cfm_loss(
     # Training masks are contiguous-prefix (fix_len_compatibility pads at
     # the end), so the flash suffix-length semantics hold.
     # The BANDED long-form gate does NOT: unlike flash (numerically
-    # equivalent), the band changes the function being trained — a
-    # T >= 8192 training batch must still backprop exact full attention,
-    # so the gate is disabled for the loss graph.
+    # equivalent), the band changes the function being trained — training
+    # batches must backprop exact full attention. Disable the gate AND
+    # rewrite an explicit "banded" backend (a reused long-form serving
+    # config must not silently train the band approximation; "xla" keeps
+    # the numerically-equivalent flash gate).
     est_cfg = cfg.estimator
-    if est_cfg.banded_long_threshold and est_cfg.attention_backend == "xla":
-        import dataclasses
+    import dataclasses
 
+    if est_cfg.attention_backend == "banded":
+        est_cfg = dataclasses.replace(
+            est_cfg, attention_backend="xla", banded_long_threshold=0
+        )
+    elif est_cfg.banded_long_threshold and est_cfg.attention_backend == "xla":
         est_cfg = dataclasses.replace(est_cfg, banded_long_threshold=0)
     pred = est.apply_estimator(
         params, est_cfg, y, mask, mu, t[:, 0, 0], spks, cond, streaming

@@ -333,11 +333,10 @@ class Synthesizer:
             )[0]
         )
         y_len = int(np.ceil(y_len * length_scale))
-        # prompt-pair validation FIRST: the long-form delegation below takes
-        # no prompt args, so a half-given pair reaching it would silently
-        # return UN-CLONED audio with success status
-        # (streaming._init_session raises on the same mistake; so must the
-        # batch-1 entry point)
+        # prompt-pair validation FIRST: fail fast with the same error on
+        # every path (streaming._init_session raises on the same mistake)
+        # before any device work — the long-form delegation below forwards
+        # the pair, but a half-given pair must never reach it
         if (prompt_feat is None) != (prompt_h is None):
             raise ValueError(
                 "voice cloning needs BOTH prompt_feat and prompt_h "

@@ -99,6 +99,7 @@ def test_cfm_loss_disables_banded_gate(monkeypatch):
 
     def spy(params, cfg, *a, **k):
         seen["thr"] = cfg.banded_long_threshold
+        seen["backend"] = cfg.attention_backend
         return orig(params, cfg, *a, **k)
 
     monkeypatch.setattr(E, "apply_estimator", spy)
@@ -117,6 +118,22 @@ def test_cfm_loss_disables_banded_gate(monkeypatch):
     )
     assert np.isfinite(float(loss))
     assert seen["thr"] == 0
+
+    # an EXPLICIT "banded" serving backend must not silently train the
+    # band either: cfm_loss rewrites it to exact attention
+    import dataclasses
+
+    cfg_b = dataclasses.replace(
+        cfg, estimator=dataclasses.replace(
+            cfg.estimator, attention_backend="banded"
+        ),
+    )
+    seen.clear()
+    loss, _ = cfm_mod.cfm_loss(
+        params, cfg_b, jax.random.PRNGKey(1), x1, mask, mu, spks, cond
+    )
+    assert np.isfinite(float(loss))
+    assert seen["backend"] == "xla" and seen["thr"] == 0
 
 
 def test_synthesize_long_banded_option():

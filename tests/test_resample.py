@@ -81,7 +81,6 @@ def test_matches_torchaudio_algorithm(sr_in, sr_out):
 
 def test_identity_and_length():
     x = _signal()
-    assert resample_sinc(x, 24000, 24000) is not x or True
     np.testing.assert_array_equal(resample_sinc(x, 24000, 24000), x)
     for sr_in, sr_out in [(48000, 24000), (44100, 16000), (11025, 24000)]:
         y = resample_sinc(x, sr_in, sr_out)
