@@ -383,6 +383,33 @@ def test_engine_routes_long_singleton_via_synthesize_long(synth, monkeypatch):
     assert calls and res.mel_frames > 0
 
 
+def test_engine_routes_long_cloning_request_with_prompt(synth, monkeypatch):
+    """A long-TEXT cloning request routes through synthesize_long WITH its
+    prompt pair (round 4: the long path grafts prompts; losing them here
+    would silently return un-cloned audio with success status)."""
+    calls = {}
+    orig = type(synth).synthesize_long
+
+    def spy(self, text, **kw):
+        calls["pf"] = kw.get("prompt_feat")
+        calls["ph"] = kw.get("prompt_h")
+        return orig(self, text, **kw)
+
+    monkeypatch.setattr(type(synth), "synthesize_long", spy)
+    rng = np.random.default_rng(9)
+    pf = rng.standard_normal((16, 80)).astype(np.float32)
+    ph = rng.standard_normal((16, 80)).astype(np.float32)
+    long_ph = " ".join(["keoi5 hai6 bin1 go3"] * 40)
+    long_tx = ("佢係邊個 " * 40).strip()
+    with ServingEngine(synth, max_batch=4, n_timesteps=1) as engine:
+        res = engine.submit(
+            long_tx, lang="yue", phone=long_ph,
+            prompt_feat=pf, prompt_h=ph,
+        ).result(timeout=600)
+    assert res.mel_frames > 0
+    assert calls["pf"] is pf and calls["ph"] is ph
+
+
 def test_engine_bad_spk_embed_fails_only_culprit(synth):
     """A malformed spk_embed must fail at validation time (its own
     request), not raise a numpy broadcast error inside the BATCHED
