@@ -87,6 +87,15 @@ def build_parser() -> argparse.ArgumentParser:
         "first multi-minute request pays ~90 s of compiles otherwise",
     )
     ap.add_argument(
+        "--long-attention", choices=("auto", "banded", "exact"),
+        default="auto",
+        help="single-device long-form attention: 'auto' = banded past "
+        "the config threshold (T>=8192, the measured default), 'banded' "
+        "= force the linear chunk-band at any length, 'exact' = full "
+        "attention always (~3x slower past 164 s). Ignored with "
+        "--sp-devices (sharded decodes pick --sp-attention)",
+    )
+    ap.add_argument(
         "--warmup-long-prompts", action="store_true",
         help="with --warmup-long: also pre-compile the prompt-headed "
         "cloning shapes (512-frame head solve + strip per mel size) — "
@@ -239,6 +248,7 @@ def main(argv=None) -> None:
         prompt_extractor=extractor,
         sp_mesh=sp_mesh,
         sp_attention=args.sp_attention,
+        long_attention=args.long_attention,
     )
     log.info(
         "serving on http://%s:%d (device: %s, streaming: %s)",

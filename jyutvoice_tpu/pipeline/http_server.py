@@ -375,6 +375,7 @@ class TTSServer:
         prompt_cache_size: int = 16,
         sp_mesh=None,
         sp_attention: str = "scores",
+        long_attention: str = "auto",
     ):
         from jyutvoice_tpu.pipeline.server import ServingEngine, StreamingLane
 
@@ -389,6 +390,7 @@ class TTSServer:
             # (dist/sp.py) instead of pinning one chip for seconds
             sp_mesh=sp_mesh,
             sp_attention=sp_attention,
+            long_attention=long_attention,
         )
         self.lane = (
             StreamingLane(

@@ -101,12 +101,16 @@ class ServingEngine:
         split_dispatch_at: int = 8,
         sp_mesh=None,
         sp_attention: str = "scores",
+        long_attention: str = "auto",
     ):
         self.synth = synthesizer
         self.max_batch = max_batch
         self.split_dispatch_at = split_dispatch_at
         self.sp_mesh = sp_mesh
         self.sp_attention = sp_attention
+        # single-device long-form attention mode: "auto" (banded past the
+        # config threshold), "banded", or "exact" (ignored under sp_mesh)
+        self.long_attention = long_attention
         self.max_wait_s = max_wait_ms / 1000.0
         self.n_timesteps = n_timesteps
         self.length_scale = length_scale
@@ -470,6 +474,10 @@ class ServingEngine:
                         prompt_h=req.item.get("prompt_h"),
                         mesh=self.sp_mesh,
                         sp_attention=self.sp_attention,
+                        attention=(
+                            self.long_attention if self.sp_mesh is None
+                            else "auto"
+                        ),
                         n_timesteps=self.n_timesteps,
                         length_scale=self.length_scale,
                         pcm16=self.pcm16,

@@ -555,20 +555,29 @@ class Synthesizer:
         T >= 2048)."""
         key = ("long_solve", t_mel, n_timesteps, attention)
         if key not in self._mel_fns:
+            import dataclasses
+
             cfm_cfg = self.cfg.tts.cfm
             if attention == "banded":
-                import dataclasses
-
                 cfm_cfg = dataclasses.replace(
                     cfm_cfg,
                     estimator=dataclasses.replace(
                         cfm_cfg.estimator, attention_backend="banded"
                     ),
                 )
+            elif attention == "exact":
+                # force full attention past banded_long_threshold (flash
+                # gate stays — it is numerically equivalent)
+                cfm_cfg = dataclasses.replace(
+                    cfm_cfg,
+                    estimator=dataclasses.replace(
+                        cfm_cfg.estimator, banded_long_threshold=0
+                    ),
+                )
             elif attention != "auto":
                 raise ValueError(
                     f"unknown long-form attention {attention!r} "
-                    "(use 'auto' or 'banded')"
+                    "(use 'auto', 'banded' or 'exact')"
                 )
 
             @jax.jit
@@ -792,10 +801,11 @@ class Synthesizer:
         """One-pass long-form synthesis, optionally sequence-parallel.
 
         attention (single-device path): "auto" = the configured backend
-        (flash-gated full attention, the parity semantic); "banded" =
-        the linear chunk-band approximation (EstimatorConfig.banded_*)
-        — opt-in for very long decodes where the quadratic term
-        dominates; divergence and speedups in docs/design.md round 4.
+        (flash below banded_long_threshold, the linear chunk-band past
+        it — the measured default); "banded" = force the chunk-band at
+        any length; "exact" = force full attention even past the
+        threshold (flash stays — numerically equivalent). Divergence and
+        speedups in docs/design.md round 4.
 
         With `mesh` (a jax.sharding.Mesh with a "seq" axis — dist/sp.py),
         the CFM decode shards the sequence axis across the mesh: per-chip
@@ -836,15 +846,15 @@ class Synthesizer:
         from jyutvoice_tpu.weights.noise import rand_noise_extended
 
         t0 = time.perf_counter()
-        if attention not in ("auto", "banded"):
+        if attention not in ("auto", "banded", "exact"):
             raise ValueError(
                 f"unknown long-form attention {attention!r} "
-                "(use 'auto' or 'banded')"
+                "(use 'auto', 'banded' or 'exact')"
             )
-        if attention == "banded" and mesh is not None:
+        if attention != "auto" and mesh is not None:
             raise ValueError(
-                "attention='banded' is the single-device long-form "
-                "path; sharded decodes pick sp_attention instead"
+                f"attention={attention!r} is the single-device long-form "
+                "control; sharded decodes pick sp_attention instead"
             )
         n_seq = 1
         if mesh is not None:

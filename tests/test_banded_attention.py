@@ -155,6 +155,9 @@ def test_synthesize_long_banded_option():
     assert np.isfinite(band.mel).all()
     # T here is way below the band window: outputs should be close
     assert np.abs(band.mel - full.mel).mean() < 5e-2
+    # "exact" forces full attention (== auto below the threshold)
+    exact = synth.synthesize_long("佢 係邊 個", attention="exact", **kw)
+    np.testing.assert_allclose(exact.mel, full.mel, atol=1e-6)
     with pytest.raises(ValueError, match="unknown long-form attention"):
         synth.synthesize_long("佢 係邊 個", attention="bogus", **kw)
 
