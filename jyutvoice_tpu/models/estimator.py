@@ -359,19 +359,22 @@ def apply_estimator(
         and seq % 128 == 0
         and jax.default_backend() == "tpu"
     )
-    if cfg.attention_backend == "banded":
+    def banded_ctx():
         # linear long-form attention: chunk-band over MXU-aligned chunks.
         # Full-attention graphs only (the 50-frame streaming rule keeps
         # its own measured paths).
         assert chunk == 0, "banded backend is for full (non-streaming) graphs"
         assert seq % cfg.banded_chunk == 0, (seq, cfg.banded_chunk)
-        attn_ctx = {
+        return {
             "backend": "banded",
             "lengths": jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32),
             "chunk": cfg.banded_chunk,
             "left": cfg.banded_left,
             "right": cfg.banded_right,
         }
+
+    if cfg.attention_backend == "banded":
+        attn_ctx = banded_ctx()
     elif cfg.attention_backend == "ring":
         # sequence-parallel ring attention (dist/ring.py): K/V blocks
         # rotate over the mesh's seq axis, per-chip score tile is
@@ -394,13 +397,7 @@ def apply_estimator(
     ):
         # default long-form gate: linear chunk-band past the threshold
         # (wins 2.46-3.29x over flash at T=8192-12288; use_banded doc)
-        attn_ctx = {
-            "backend": "banded",
-            "lengths": jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32),
-            "chunk": cfg.banded_chunk,
-            "left": cfg.banded_left,
-            "right": cfg.banded_right,
-        }
+        attn_ctx = banded_ctx()
     elif (
         cfg.attention_backend == "xla"
         and jax.default_backend() == "tpu"

@@ -412,12 +412,13 @@ def banded_sdpa(
     chunk rule, banded (utils/mask.py:91-207, num_decoding_left_chunks
     >= 0); right>0 adds lookahead chunks — a closer approximation of the
     estimator's bidirectional full attention for the one-pass long-form
-    gate. The band is materialized with the stack-of-shifts framing
-    (reshape+slice only — TPU gathers are the measured slow path,
-    CLAUDE.md), so scores are (B,H,nc,chunk,w) instead of (B,H,T,T):
-    both FLOPs and HBM traffic scale with T·w. No pallas: plain einsums
-    the MXU tiles natively and GSPMD can shard the chunk axis (unlike a
-    pallas custom call).
+    gate. The band is computed SLAB-WISE from shifted views (reshape+
+    slice only — TPU gathers are the measured slow path, CLAUDE.md; no
+    banded K/V copy is ever materialized, see the body comment), so
+    scores are (B,H,nc,chunk,w) instead of (B,H,T,T): both FLOPs and
+    HBM traffic scale with T·w. No pallas: plain einsums the MXU tiles
+    natively and GSPMD can shard the chunk axis (unlike a pallas custom
+    call).
 
     Key validity is computed inline from positions (pad regions and
     suffix padding masked). Fully-padded query chunks see an all-masked
