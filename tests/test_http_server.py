@@ -225,13 +225,16 @@ def test_sp_mesh_reaches_engine(server):
     sentinel = object()
     srv2 = TTSServer(
         synth, port=0, max_batch=2, max_wait_ms=5.0, n_timesteps=2,
-        sp_mesh=sentinel, sp_attention="ring",
+        sp_mesh=sentinel, sp_attention="ring", long_attention="exact",
     )
     try:
         assert srv2.engine.sp_mesh is sentinel
         assert srv2.engine.sp_attention == "ring"
+        # --long-attention contract (round 4): reaches the engine too
+        assert srv2.engine.long_attention == "exact"
     finally:
         srv2.close()
+    assert srv.engine.long_attention == "auto"  # default
 
 
 def test_ref_audio_cloning_path():
