@@ -228,6 +228,10 @@ def main(argv=None) -> None:
             mesh=sp_mesh,
             sp_attention=args.sp_attention,
             with_prompt=args.warmup_long_prompts,
+            # the engine dispatches single-device long solves with
+            # long_attention (server.py) — warm the SAME keys, or
+            # --long-attention exact|banded leaves the served graphs cold
+            attention=(args.long_attention if sp_mesh is None else "auto"),
         )
         log.info(
             "warmup-long: %d graphs in %.1f s", n, time.perf_counter() - t0

@@ -21,12 +21,20 @@ _PALLAS_CAPABLE = ("xla", "pallas")
 # or shard_maps against whatever stale mesh the thread last bound. Only
 # dist/sp.py builds ring graphs, and it sets the backend itself.
 _UNSAFE = _PALLAS_CAPABLE + ("ring",)
+# "banded" is safe for sharded INFERENCE (banded_sdpa is pure XLA einsums,
+# GSPMD partitions it) but not for sharded TRAINING: cfm_loss rewrites
+# "banded" to "xla" (the band must never be backpropped — models/cfm.py),
+# and "xla"'s stock-flash gate would then plant the pallas kernel at
+# T >= 2048 inside the batch-sharded grad jit. Training callers pass
+# train=True so a reused long-form serving config lands on "xla_scores".
+_UNSAFE_TRAIN = _UNSAFE + ("banded",)
 
 
-def gspmd_safe_cfm_cfg(cfm_cfg):
+def gspmd_safe_cfm_cfg(cfm_cfg, *, train: bool = False):
     """Rewrite any pallas-capable (or foreign-meshed) attention backend to
-    'xla_scores'."""
-    if cfm_cfg.estimator.attention_backend not in _UNSAFE:
+    'xla_scores'. train=True also rewrites 'banded' (see _UNSAFE_TRAIN)."""
+    unsafe = _UNSAFE_TRAIN if train else _UNSAFE
+    if cfm_cfg.estimator.attention_backend not in unsafe:
         return cfm_cfg
     return dataclasses.replace(
         cfm_cfg,

@@ -646,6 +646,7 @@ class Synthesizer:
         mesh=None,
         sp_attention: str = "scores",
         with_prompt: bool = False,
+        attention: str = "auto",
     ) -> int:
         """Pre-compile the long-form (synthesize_long) graph family.
 
@@ -662,6 +663,10 @@ class Synthesizer:
         solve at p_bucket + t_mel (512-frame prompt head), the strip
         graph, and the t_mel vocoder — the shapes
         synthesize_long(prompt_feat=...) picks. Returns graphs driven.
+        attention selects the single-device solve variant to warm
+        ("auto"/"exact"/"banded") — it must match the engine's
+        long_attention flag or the warmed _long_solve_fn keys miss and
+        the first served long request pays the cold compile anyway.
         """
 
         from jyutvoice_tpu.weights.noise import rand_noise_extended
@@ -718,7 +723,7 @@ class Synthesizer:
                 noise = jnp.asarray(rand_noise_extended(t_total))
                 for steps in n_timesteps:
                     if mesh is None:
-                        mel = self._long_solve_fn(t_total, steps)(
+                        mel = self._long_solve_fn(t_total, steps, attention)(
                             self.params_tts["decoder"], mu, mask, spks, cond,
                             noise,
                         )

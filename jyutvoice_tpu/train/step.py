@@ -160,12 +160,14 @@ def gspmd_safe_tts_cfg(tts_cfg: TTSConfig) -> TTSConfig:
     "pallas") to the score path so no unshardable custom call lands in
     the batch-sharded step (dist/gspmd.py). Single-device training keeps
     the gate (measured grad-step speedups 1.08-1.36x at T=2048-4096,
-    docs/design.md)."""
+    docs/design.md). train=True also rewrites "banded": cfm_loss would
+    otherwise map a reused long-form serving config to "xla", re-enabling
+    the stock-flash pallas call inside the sharded grad jit."""
     import dataclasses
 
     from jyutvoice_tpu.dist.gspmd import gspmd_safe_cfm_cfg
 
-    cfm = gspmd_safe_cfm_cfg(tts_cfg.cfm)
+    cfm = gspmd_safe_cfm_cfg(tts_cfg.cfm, train=True)
     if cfm is tts_cfg.cfm:
         return tts_cfg
     return dataclasses.replace(tts_cfg, cfm=cfm)

@@ -507,6 +507,20 @@ def test_warmup_long(synth):
     assert len(synth._mel_fns) <= before + 2
 
 
+def test_warmup_long_attention_keys(synth):
+    """warmup_long(attention=...) must warm the SAME _long_solve_fn keys
+    the engine dispatches with long_attention — warming "auto" graphs for
+    a --long-attention exact|banded server left the served solves cold
+    (first long request paid the ~90 s compile the flag exists to avoid)."""
+    n = synth.warmup_long(
+        mel_sizes=(128,), text_buckets=(), n_timesteps=(1,),
+        attention="exact",
+    )
+    assert n == 1
+    assert ("long_solve", 128, 1, "exact") in synth._mel_fns
+    assert ("long_solve", 128, 1, "auto") not in synth._mel_fns
+
+
 def test_warmup_long_with_prompt(synth):
     """with_prompt=True additionally warms the cloning shapes (512-frame
     prompt head solve + strip) that synthesize_long(prompt_feat=...)

@@ -368,6 +368,35 @@ def test_gspmd_safe_tts_cfg():
     assert gspmd_safe_tts_cfg(safe) is safe
 
 
+def test_gspmd_safe_tts_cfg_rewrites_banded():
+    """A reused long-form serving config (attention_backend='banded') must
+    NOT pass through to the sharded train step: cfm_loss maps 'banded' to
+    'xla', which re-enables the stock-flash pallas gate at T>=2048 inside
+    the DP jit — the exact unshardable-custom-call hazard the helper
+    exists to prevent. Inference-side gspmd_safe_cfm_cfg keeps 'banded'
+    (pure-XLA einsums, genuinely GSPMD-shardable)."""
+    import dataclasses
+
+    from jyutvoice_tpu.config import JyutVoiceConfig
+    from jyutvoice_tpu.dist.gspmd import gspmd_safe_cfm_cfg
+    from jyutvoice_tpu.train.step import gspmd_safe_tts_cfg
+
+    tts = JyutVoiceConfig().tts
+    banded = dataclasses.replace(
+        tts,
+        cfm=dataclasses.replace(
+            tts.cfm,
+            estimator=dataclasses.replace(
+                tts.cfm.estimator, attention_backend="banded"
+            ),
+        ),
+    )
+    safe = gspmd_safe_tts_cfg(banded)
+    assert safe.cfm.estimator.attention_backend == "xla_scores"
+    # inference pass-through unchanged
+    assert gspmd_safe_cfm_cfg(banded.cfm) is banded.cfm
+
+
 def test_row_to_example_hf_null_columns():
     """HF load_from_disk materializes EVERY column on every row with None
     for missing values — null-valued columns must behave exactly like
