@@ -87,7 +87,96 @@ def summarize(new_state, loss, grad_norm):
     }
 
 
-def main(pid: int, n: int, port: int, out_path: str) -> None:
+SP_T = 64  # sequence-parallel test: mel frames (divisible by any n)
+
+
+def build_sp_inputs():
+    """Identical-in-every-process tiny decoder + solve inputs for the
+    sequence-parallel cross-process test."""
+    from jyutvoice_tpu.config import (
+        CFMConfig,
+        EstimatorConfig,
+        TextEncoderConfig,
+        TTSConfig,
+    )
+    from jyutvoice_tpu.models.tts import init_tts
+    from jyutvoice_tpu.weights.noise import rand_noise
+
+    tiny = TTSConfig(
+        encoder=TextEncoderConfig(n_layers=2, filter_channels=128),
+        cfm=CFMConfig(estimator=EstimatorConfig(n_blocks=1, num_mid_blocks=1)),
+    )
+    params = init_tts(jax.random.PRNGKey(TINY_SEED), tiny)
+    dec = jax.tree.map(np.asarray, params["decoder"])
+    rng = np.random.default_rng(7)
+    mu = rng.standard_normal((1, SP_T, 80)).astype(np.float32)
+    mask = np.ones((1, SP_T, 1), np.float32)
+    spks = rng.standard_normal((1, 80)).astype(np.float32)
+    cond = np.zeros((1, SP_T, 80), np.float32)
+    noise = np.asarray(rand_noise(SP_T))
+    return tiny, dec, mu, mask, spks, cond, noise
+
+
+def sp_summarize(mel: np.ndarray) -> dict:
+    return {
+        "checksum": float(np.abs(mel).sum()),
+        "sample": [float(v) for v in mel.ravel()[:5]],
+        "shape": list(mel.shape),
+    }
+
+
+def main_sp(pid: int, n: int, out_path: str) -> None:
+    """One sequence-parallel CFM decode over the cross-process mesh:
+    activations shard along T across the two Gloo processes, the gspmd
+    rewrite (sp_cfm_solve forcing 'xla_scores') is exercised cross-host,
+    and the output is re-gathered to replicated for comparison."""
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jyutvoice_tpu.dist.sp import SEQ_AXIS, make_sp_mesh, sp_cfm_solve
+
+    tiny, dec, mu, mask, spks, cond, noise = build_sp_inputs()
+    mesh = make_sp_mesh(n)  # global devices: one per process
+    assert {d.process_index for d in mesh.devices.flatten()} == set(range(n))
+
+    seq_spec = P(None, SEQ_AXIS, None)
+    per = SP_T // n
+    sl = slice(pid * per, (pid + 1) * per)
+    gmu = multihost_utils.host_local_array_to_global_array(
+        mu[:, sl], mesh, seq_spec
+    )
+    gmask = multihost_utils.host_local_array_to_global_array(
+        mask[:, sl], mesh, seq_spec
+    )
+    gcond = multihost_utils.host_local_array_to_global_array(
+        cond[:, sl], mesh, seq_spec
+    )
+    gdec = multihost_utils.host_local_array_to_global_array(dec, mesh, P())
+    gspks = multihost_utils.host_local_array_to_global_array(spks, mesh, P())
+    # sp_cfm_solve's in_shardings place the pre-sliced noise along T too
+    gnoise = multihost_utils.host_local_array_to_global_array(
+        noise[:, sl], mesh, seq_spec
+    )
+
+    run = sp_cfm_solve(dec, tiny.cfm, mesh, n_timesteps=2, attention="scores")
+    mel = run(gdec, gmu, gmask, gspks, gcond, gnoise)
+    # re-gather the T-sharded result to replicated so EVERY process holds
+    # the full mel (a cross-process all-gather through GSPMD)
+    rep = NamedSharding(mesh, P())
+    with mesh:
+        full = jax.jit(lambda x: x, out_shardings=rep)(mel)
+    jax.block_until_ready(full)
+    mel_np = np.asarray(full.addressable_data(0))
+
+    if pid == 0:
+        result = sp_summarize(mel_np)
+        result["process_count"] = jax.process_count()
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+    multihost_utils.sync_global_devices("multihost_sp_test_done")
+
+
+def main(pid: int, n: int, port: int, out_path: str, mode: str = "dp") -> None:
     from jyutvoice_tpu.dist.multihost import (
         global_batch_sharding,
         init_distributed,
@@ -97,6 +186,8 @@ def main(pid: int, n: int, port: int, out_path: str) -> None:
     assert jax.process_count() == n, jax.process_count()
     assert jax.local_device_count() == 1
     assert jax.device_count() == n, jax.device_count()
+    if mode == "sp":
+        return main_sp(pid, n, out_path)
 
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -138,4 +229,7 @@ if __name__ == "__main__":
     # parent test imports this module with its backend already live.
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 1)
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    main(
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+        sys.argv[5] if len(sys.argv) > 5 else "dp",
+    )
