@@ -90,7 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--long-attention", choices=("auto", "banded", "exact"),
         default="auto",
         help="single-device long-form attention: 'auto' = banded past "
-        "the config threshold (T>=8192, the measured default), 'banded' "
+        "the config threshold (T>=2048, the measured default), 'banded' "
         "= force the linear chunk-band at any length, 'exact' = full "
         "attention always (~3x slower past 164 s). Ignored with "
         "--sp-devices (sharded decodes pick --sp-attention)",

@@ -112,11 +112,20 @@ class EstimatorConfig:
     # T >= banded_long_threshold (TPU, 128-aligned) route to a (2,2)
     # chunk-band — 640-frame (12.8 s) symmetric context per query.
     # Measured on the 10-step solve (scripts/profile_dense_banded.py,
-    # v5e): 2.46x at T=8192, 3.29x at 12288, mel MAE vs full attention
-    # 1.7-2.1e-2 (~2% of |out|) — an order less divergence than the
-    # reference's own streaming chunk semantics produce (5.8e-2-1.4e-1).
-    # 0 disables (stock flash stays the long-form backend).
-    banded_long_threshold: int = 8192
+    # v5e): 1.23-1.57x at T=2048-4096, 2.46x at 8192, 3.29x at 12288;
+    # mel MAE vs full attention 1.7-2.3e-2 (~2% of |out|) — an order
+    # less divergence than the reference's own streaming chunk semantics
+    # produce (5.8e-2-1.4e-1). Threshold lowered 8192 -> 2048 in round 5
+    # on VOCODED-domain evidence (scripts/eval_banded_vocoded.py, TPU):
+    # MCD 1.65-1.75 dB FLAT across T=2048-12288 (no per-third
+    # accumulation), log-mel distortion 0.19 dB, CAM++ spk-embed cosine
+    # at the measurement noise floor at every bucket, prompted decodes
+    # included — the 2048-4096 range is quality-indistinguishable from
+    # the long buckets that already shipped banded in round 4.
+    # 0 disables (stock flash stays the long-form backend);
+    # attention="exact" pins the flash path per request, and bench.py
+    # regression-guards the exact series separately.
+    banded_long_threshold: int = 2048
     # "matmul" expresses the k=3 causal convs as shifted matmuls: identical
     # math, but avoids XLA conv<->matmul layout boundaries that break fusion
     # when convs interleave with attention at larger batches — 2.7x faster

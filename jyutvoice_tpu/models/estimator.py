@@ -141,8 +141,12 @@ def use_banded(t: int, chunk: int, cfg: EstimatorConfig) -> bool:
     """Default long-form banded gate for the "xla" backend: at
     T >= banded_long_threshold the quadratic attention term dominates the
     solve and the (2,2) chunk-band (640-frame symmetric context) wins
-    2.46x (T=8192) to 3.29x (T=12288) over stock flash at ~2% mel
-    divergence (scripts/profile_dense_banded.py; docs/design.md round 4).
+    1.23x (T=2048) to 3.29x (T=12288) over stock flash at ~2% mel
+    divergence (scripts/profile_dense_banded.py; docs/design.md round 4),
+    with the VOCODED-domain cost bounded flat across the whole range
+    (MCD 1.65-1.75 dB, spk-embed cosine at the noise floor, prompted
+    included — scripts/eval_banded_vocoded.py, round 5; that evidence
+    moved the default threshold 8192 -> 2048).
     Full attention only, 128-aligned T, TPU (CPU parity tests keep exact
     full attention). Set banded_long_threshold=0 to disable."""
     return (
@@ -396,7 +400,8 @@ def apply_estimator(
         and use_banded(seq, chunk, cfg)
     ):
         # default long-form gate: linear chunk-band past the threshold
-        # (wins 2.46-3.29x over flash at T=8192-12288; use_banded doc)
+        # (wins 1.23-1.57x over flash at T=2048-4096, 2.46-3.29x at
+        # 8192-12288; use_banded doc + vocoded bound in config.py)
         attn_ctx = banded_ctx()
     elif (
         cfg.attention_backend == "xla"

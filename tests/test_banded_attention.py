@@ -73,11 +73,16 @@ def test_use_banded_default_gate():
     from jyutvoice_tpu.models import estimator as E
 
     cfg = EstimatorConfig()
-    assert cfg.banded_long_threshold == 8192
+    # threshold 2048 since round 5 (vocoded-domain evidence,
+    # scripts/eval_banded_vocoded.py: MCD flat 2048-12288, spk cosine at
+    # the noise floor — claims the measured 1.23-1.57x at 2048-4096)
+    assert cfg.banded_long_threshold == 2048
+    assert E.use_banded(2048, 0, cfg)
+    assert E.use_banded(2560, 0, cfg)  # prompted total 512+2048
     assert E.use_banded(8192, 0, cfg)
     assert E.use_banded(12288, 0, cfg)
     assert E.use_banded(12800, 0, cfg)  # prompted total 512+12288
-    assert not E.use_banded(4096, 0, cfg)  # flash wins below threshold
+    assert not E.use_banded(1536, 0, cfg)  # bf16 scores win below
     assert not E.use_banded(8192, 50, cfg)  # streaming chunk rule
     assert not E.use_banded(8200, 0, cfg)  # not 128-aligned
     import dataclasses
@@ -104,7 +109,7 @@ def test_cfm_loss_disables_banded_gate(monkeypatch):
 
     monkeypatch.setattr(E, "apply_estimator", spy)
     cfg = CFMConfig(estimator=EstimatorConfig(n_blocks=1, num_mid_blocks=1))
-    assert cfg.estimator.banded_long_threshold == 8192
+    assert cfg.estimator.banded_long_threshold == 2048
     params = E.init_estimator(jax.random.PRNGKey(0), cfg.estimator)
     rng = np.random.default_rng(0)
     b, t = 2, 64
