@@ -158,6 +158,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="JyutVoice-TPU training")
     parser.add_argument("--dataset", default=None, help="HF dataset dir")
     parser.add_argument("--dummy", action="store_true", help="synthetic smoke data")
+    parser.add_argument("--dummy-rows", type=int, default=64,
+                        help="synthetic row count (with --dummy)")
+    parser.add_argument("--dummy-mel", default="48,160",
+                        help="LO,HI synthetic mel-frame range (with --dummy); "
+                             "e.g. 1200,2000 lands batches in the 2048 bucket "
+                             "so the flash-backward gate fires")
     parser.add_argument("--pretrain", default=None,
                         help="pretrained tts weights (.npz/.pt/.ckpt)")
     parser.add_argument("--ckpt-dir", default="checkpoints")
@@ -240,7 +246,11 @@ def main(argv=None):
     dm_cfg = DataConfig(batch_size=tr.batch_size, seed=args.seed)
     if args.dummy or not args.dataset:
         log.warning("using dummy dataset (smoke mode)")
-        dm = TextMelDataModule(dummy_rows(64, seed=args.seed), dm_cfg)
+        lo, hi = (int(v) for v in args.dummy_mel.split(","))
+        dm = TextMelDataModule(
+            dummy_rows(args.dummy_rows, seed=args.seed, mel_frames=(lo, hi)),
+            dm_cfg,
+        )
     else:
         dm = TextMelDataModule(args.dataset, dm_cfg)
 

@@ -20,7 +20,7 @@ Host-side re-design of the reference TextMelDataModule
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -223,14 +223,21 @@ class TextMelDataModule:
         return self._iter(self.valid_idx, False, 0)
 
 
-def dummy_rows(n: int = 16, seed: int = 0) -> List[Dict]:
+def dummy_rows(
+    n: int = 16,
+    seed: int = 0,
+    mel_frames: Tuple[int, int] = (48, 160),
+    phones: Tuple[int, int] = (6, 20),
+) -> List[Dict]:
     """Synthetic rows for smoke training (the reference's dummy-dataset path,
-    BASELINE config 5)."""
+    BASELINE config 5). mel_frames/phones bound the per-row sizes — the
+    sustained TPU run (scripts/train_tpu_sustained.py) uses long mels so
+    batches land in the 2048 bucket and the flash-backward gate fires."""
     rng = np.random.default_rng(seed)
     rows = []
     for _ in range(n):
-        n_ph = int(rng.integers(6, 20))
-        t = int(rng.integers(24, 80)) * 2
+        n_ph = int(rng.integers(phones[0], phones[1]))
+        t = int(rng.integers(mel_frames[0] // 2, mel_frames[1] // 2)) * 2
         rows.append(
             {
                 "phone_ids": rng.integers(1, 97, n_ph).tolist(),
