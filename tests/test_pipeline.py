@@ -512,13 +512,17 @@ def test_warmup_long_attention_keys(synth):
     the engine dispatches with long_attention — warming "auto" graphs for
     a --long-attention exact|banded server left the served solves cold
     (first long request paid the ~90 s compile the flag exists to avoid)."""
+    before = set(synth._mel_fns)
     n = synth.warmup_long(
         mel_sizes=(128,), text_buckets=(), n_timesteps=(1,),
         attention="exact",
     )
     assert n == 1
+    new = set(synth._mel_fns) - before
     assert ("long_solve", 128, 1, "exact") in synth._mel_fns
-    assert ("long_solve", 128, 1, "auto") not in synth._mel_fns
+    # THIS warmup call must not have built any "auto"-keyed solve (the
+    # synth fixture is shared — other tests may have warmed auto keys)
+    assert not any(k[0] == "long_solve" and k[3] == "auto" for k in new)
 
 
 def test_warmup_long_with_prompt(synth):
